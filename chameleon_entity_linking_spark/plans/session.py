@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference is a single-process pipeline with hand-rolled physical
+tricks (in-RAM hash joins, manual 9x1M encode shards, pickle caches —
+see SURVEY.md §4). Here every one of those is delegated to Catalyst /
+AQE / Tungsten; the only non-default knobs we set are the ones the
+optimizer cannot infer:
+
+- AQE on (runtime coalesce, skew-join split, join-strategy re-pick).
+- ``spark.sql.shuffle.partitions`` sized to cores (local) — on a real
+  cluster this would be ~2-3x total executor cores; AQE coalesces down.
+- Arrow on, with a bounded batch size so pandas-UDF scoring batches fit
+  executor memory regardless of row width (the analogue of the
+  reference's inference batch size, BiEncoder/model.py:71).
+- An explicit checkpoint dir for the iterative connected-components
+  job (lineage truncation — classic iterative-join requirement).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "chameleon_entity_linking_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores`` controls ``local[N]`` parallelism; shuffle partitions
+    default to ``max(cores, 8)`` so tiny inputs are not over-split and
+    AQE can coalesce further at runtime.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ckpt = os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        os.path.join(tempfile.gettempdir(), "cel_spark_checkpoints"),
+    )
+    spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
