@@ -1,0 +1,197 @@
+"""Blocking stage: salted multi-key candidate-pair generation.
+
+The analogue of the reference's candidate generation — BM25 run files
+(`BiEncoder/test.py:63-79`) and FAISS top-k retrieval
+(`BiEncoder/test_retrieval.py:51-76`). A global ANN index cannot
+exist at 10^12 docs, so candidate generation becomes a
+hash-partitioned self-join over three key families:
+
+  t:<token>      tokens of the *name* span (entity-name terms — the
+                 BM25-term analogue)
+  l:<band>       MinHash-LSH band keys over char-3-shingles of the
+                 full normalized text (the dense-recall analogue)
+  m:<media_ref>  exact media content hashes (the exact entity-title
+                 key analogue, `BiEncoder/model.py:404`)
+
+Skew discipline (north rule: explicit partitioning + skew splitting):
+  * keys with one member generate no pairs -> dropped before the join
+  * keys with <= ``hot_key_cap`` members self-join directly
+  * hotter keys are *salted*: members get a deterministic salt group
+    g in [0, s), s = ceil(n/cap), and the classic triangle-join
+    replication — a member is LEFT in bucket-pairs (g, j>=g) and
+    RIGHT in (i<=g, g) — generates every intra-key pair exactly once
+    across buckets, each bucket bounded ~cap members per side
+  * keys hotter than ``cap * max_salts`` are dropped and counted in
+    metrics (stopword-grade keys; the reference's analogous bound is
+    its top-1000 candidate truncation)
+
+Every emitted pair is canonicalized doc_a < doc_b and deduplicated
+across key families (SURVEY.md J8).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.functions.minhash import (
+    band_keys_from_signature,
+    minhash_fast_batch,
+)
+from chameleon_entity_linking_spark.functions.tokenize import char_shingles
+
+
+class BlockConfig:
+    def __init__(
+        self,
+        lsh_hashes: int = 64,
+        lsh_bands: int = 16,
+        hot_key_cap: int = 64,
+        max_salts: int = 16,
+        minhash_seed: int = 42,
+        use_token_keys: bool = True,
+        use_lsh_keys: bool = True,
+        use_media_keys: bool = True,
+    ):
+        assert lsh_hashes % lsh_bands == 0
+        self.lsh_hashes = lsh_hashes
+        self.lsh_bands = lsh_bands
+        self.rows_per_band = lsh_hashes // lsh_bands
+        self.hot_key_cap = hot_key_cap
+        self.max_salts = max_salts
+        self.minhash_seed = minhash_seed
+        self.use_token_keys = use_token_keys
+        self.use_lsh_keys = use_lsh_keys
+        self.use_media_keys = use_media_keys
+
+    def fingerprint(self) -> dict:
+        return dict(vars(self))
+
+
+def _lsh_keys_udf(cfg: BlockConfig):
+    @F.pandas_udf("array<string>")
+    def lsh_keys(tokens: pd.Series) -> pd.Series:
+        shingles = [char_shingles(list(t)) for t in tokens]
+        sigs = minhash_fast_batch(
+            shingles, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
+        )
+        return pd.Series(
+            [
+                [
+                    "l:" + k
+                    for k in band_keys_from_signature(
+                        sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
+                    )
+                ]
+                for sig in sigs
+            ]
+        )
+
+    return lsh_keys
+
+
+def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
+    """(doc_id, key) — one row per document per blocking key."""
+    parts = []
+    if cfg.use_token_keys:
+        from chameleon_entity_linking_spark.functions.tokenize import tokens_col
+
+        name_tokens = F.array_distinct(tokens_col(F.col("name_text")))
+        parts.append(
+            doc_norm.select(
+                "doc_id",
+                F.explode(
+                    F.transform(name_tokens, lambda t: F.concat(F.lit("t:"), t))
+                ).alias("key"),
+            )
+        )
+    if cfg.use_lsh_keys:
+        parts.append(
+            doc_norm.select(
+                "doc_id",
+                F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
+            )
+        )
+    if cfg.use_media_keys:
+        parts.append(
+            doc_norm.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.col("media_refs"), lambda m: F.concat(F.lit("m:"), m)
+                    )
+                ).alias("key"),
+            )
+        )
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    return keys.dropDuplicates(["doc_id", "key"])
+
+
+def candidate_pairs(
+    doc_norm: DataFrame, cfg: BlockConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Generate canonical candidate pairs + per-key metrics.
+
+    Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
+    """
+    keys = blocking_keys(doc_norm, cfg)
+    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
+    cap = cfg.hot_key_cap
+    ceiling = cap * cfg.max_salts
+    key_metrics = counts.withColumn(
+        "class",
+        F.when(F.col("n_docs") < 2, "singleton")
+        .when(F.col("n_docs") <= cap, "normal")
+        .when(F.col("n_docs") <= ceiling, "salted")
+        .otherwise("dropped"),
+    )
+    # joining (key -> count) back: hash join on key; the subsequent
+    # self-join shuffles on key too, so the exchange is reused
+    keyed = keys.join(
+        counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
+        "key",
+    )
+
+    normal = keyed.where(F.col("n_docs") <= cap).select("key", "doc_id")
+    a, b = normal.alias("a"), normal.alias("b")
+    pairs_normal = (
+        a.join(b, "key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+    hot = (
+        keyed.where(F.col("n_docs") > cap)
+        .withColumn("s", F.ceil(F.col("n_docs") / cap).cast("int"))
+        .withColumn("g", F.pmod(F.xxhash64("doc_id", "key"), F.col("s")).cast("int"))
+    )
+    hot_left = hot.select(
+        "key",
+        F.col("g").alias("bi"),
+        F.explode(F.sequence(F.col("g"), F.col("s") - 1)).alias("bj"),
+        F.col("doc_id").alias("da"),
+    )
+    hot_right = hot.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("bi"),
+        F.col("g").alias("bj"),
+        F.col("doc_id").alias("db"),
+    )
+    pairs_hot = (
+        hot_left.join(hot_right, ["key", "bi", "bj"])
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+
+    pairs = pairs_normal.unionByName(pairs_hot).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    return pairs, key_metrics

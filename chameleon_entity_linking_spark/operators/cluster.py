@@ -1,0 +1,121 @@
+"""Clustering stage: large-star/small-star connected components.
+
+The transitive-closure capability the reference realizes with
+single-process BFS/DFS graph expansion
+(`utils/entity_expander.py:80-103`), re-expressed as the
+alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — pure
+DataFrame self-joins/aggregations, O(log n) rounds, each round
+``localCheckpoint``-ed to truncate lineage (SURVEY.md G4).
+
+Node ids are strings; min() is lexicographic, which is a total order
+— all the algorithm needs.
+
+Convergence detection: (row_count, bit_xor of row hashes) fingerprint
+of the (deduplicated) edge set, compared between rounds — one cheap
+aggregate job, no driver-side edge materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(e: DataFrame) -> DataFrame:
+    return e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return _dedup(
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; for each node u: connect every
+    smaller-or-equal neighbor (and u) to the minimum."""
+    directed = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    grouped = directed.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    # m = min(nbrs ∪ {u}); emit (v, m) for v in (nbrs ∪ {u}) \ {m}
+    with_min = grouped.withColumn(
+        "m", F.array_min(F.array_union("nbrs", F.array("src")))
+    )
+    exploded = with_min.select(
+        "m",
+        F.explode(F.array_union("nbrs", F.array("src"))).alias("v"),
+    )
+    return _dedup(
+        exploded.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    # bit_xor over distinct rows: order-insensitive, overflow-free
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """edges(doc_a, doc_b) -> assignments(doc_id, cluster_id).
+
+    cluster_id is the component's minimum doc_id. Only nodes that
+    appear in an edge are returned; callers attach singletons via a
+    left join + coalesce (see pipeline.assign_clusters).
+    """
+    e = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    e = _dedup(e).localCheckpoint()
+    prev_fp = _fingerprint(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # converged edge set is a star forest: src (member) -> dst (root)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    members = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("cluster_id")
+    )
+    return members.select(F.col("src").alias("doc_id"), "cluster_id")
+
+
+def assign_clusters(all_docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Attach cluster ids to every doc; edge-less docs are singletons."""
+    return (
+        all_docs.select("doc_id")
+        .join(components, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Normalize stage: interleaved spans -> per-doc match features.
+
+The analogue of the reference's corpus preparation (entity extraction
++ text cleanup, `utils/entity_extractor.py:22-39`, strip/clean at
+`BiEncoder/model.py:32`): every document's text spans are lowercased,
+tokenized and embedded; media spans contribute their exact
+``media_ref`` keys (the analogue of the reference's exact entity
+`title`, `BiEncoder/model.py:404`).
+
+Invariant (input_hint): the ``spans`` column passes through
+**untouched** — (kind, text, media_ref, order) survives byte-for-byte
+(tested in tests/test_pipeline.py).
+
+Physical shape: narrow, map-only — zero shuffles. Cheap string ops
+stay JVM-side (whole-stage codegen); only the embedding encoder runs
+in Python, as a scalar Arrow-batched ``pandas_udf`` so *only the
+tokens column* crosses the JVM<->Arrow boundary (the operator shape
+of the reference's batched encoder, `BiEncoder/model.py:68-166`,
+minus its only-encodes-the-last-batch indentation bug).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.functions.embed import DEFAULT_DIM, encode_batch
+from chameleon_entity_linking_spark.functions.tokenize import tokens_col
+
+NORM_COLUMNS = [
+    "doc_id",
+    "spans",
+    "name_text",
+    "tokens",
+    "media_refs",
+    "embedding",
+]
+
+
+def _embed_udf():
+    # built lazily: pandas_udf parses its DDL against the active session
+    @F.pandas_udf("array<float>")
+    def embed(tokens: pd.Series) -> pd.Series:
+        vecs = encode_batch([list(t) for t in tokens])
+        return pd.Series(list(vecs))
+
+    return embed
+
+
+def normalize(documents: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """documents(doc_id, spans) -> doc_norm with match features.
+
+    Output columns:
+      spans       unchanged input spans (the per-row invariant)
+      name_text   normalized text of the first text span (entity name)
+      tokens      distinct sorted tokens over all text spans
+      media_refs  distinct sorted media_ref keys
+      embedding   array<float> hashing-trick vector (L2-normalized)
+    """
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    full_text = F.concat_ws(
+        " ", F.transform(text_spans, lambda s: s["text"])
+    )
+    # F.get is null-safe on empty arrays (ANSI mode is on in Spark 4)
+    name_text = F.trim(
+        F.lower(F.coalesce(F.get(text_spans, 0)["text"], F.lit("")))
+    )
+    return documents.select(
+        "doc_id",
+        "spans",
+        name_text.alias("name_text"),
+        F.array_sort(F.array_distinct(tokens_col(full_text))).alias("tokens"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter("spans", lambda s: s["media_ref"] != F.lit("")),
+                    lambda s: s["media_ref"],
+                )
+            )
+        ).alias("media_refs"),
+    ).withColumn("embedding", _embed_udf()(F.col("tokens")))

@@ -1,0 +1,192 @@
+"""Pipeline orchestration: stage DAG with checkpoint/resume.
+
+Mirrors the reference's file-separated stage chain (entities TSV ->
+run files -> pruned runs -> merged runs; SURVEY.md §3) with one
+difference: every boundary is an atomic catalog commit carrying
+lineage (input snapshot ids + config fingerprint) and metrics, so a
+re-run *resumes from the last committed checkpoint* (the
+``--start_index`` analogue, `utils/entity_extractor.py:12,:51` —
+north rule T1).
+
+Stages:
+  ingest     synthesize (or accept) the interleaved documents table
+  normalize  span features (map-only)
+  block      candidate pairs (salted multi-key self-join)
+  score      pairwise scoring -> edges (two hash joins + map)
+  cluster    large-star/small-star CC -> cluster assignments
+  evaluate   pairwise F1 vs labels (if labels exist)
+
+A stage is skipped iff its table is committed with a lineage
+fingerprint equal to the current (config, input-snapshot) pair —
+deterministic stages + atomic commits make resume idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.block import BlockConfig, candidate_pairs
+from chameleon_entity_linking_spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+from chameleon_entity_linking_spark.operators.evaluate import pairwise_f1
+from chameleon_entity_linking_spark.operators.normalize import normalize
+from chameleon_entity_linking_spark.operators.score import (
+    ScoreConfig,
+    edges_above_threshold,
+    score_pairs,
+)
+from chameleon_entity_linking_spark.sources.catalog import ParquetCatalog
+from chameleon_entity_linking_spark.sources.synth import SynthConfig, synth_tables
+
+
+def _fp(obj: Any) -> str:
+    return hashlib.md5(json.dumps(obj, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        synth_cfg: SynthConfig | None = None,
+        block_cfg: BlockConfig | None = None,
+        score_cfg: ScoreConfig | None = None,
+    ):
+        self.spark = spark
+        self.catalog = ParquetCatalog(warehouse)
+        self.synth_cfg = synth_cfg or SynthConfig()
+        self.block_cfg = block_cfg or BlockConfig()
+        self.score_cfg = score_cfg or ScoreConfig()
+        self.timings: dict[str, float] = {}
+
+    # -- resume machinery ---------------------------------------------------
+    def _done(self, table: str, fingerprint: str) -> bool:
+        snap = (
+            self.catalog.current_snapshot(table)
+            if self.catalog.exists(table)
+            else None
+        )
+        return snap is not None and snap.lineage.get("fingerprint") == fingerprint
+
+    def _run_stage(
+        self,
+        name: str,
+        table: str,
+        fingerprint: str,
+        build,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        if self._done(table, fingerprint):
+            self.timings[name] = 0.0
+            return self.catalog.read(self.spark, table)
+        t0 = time.time()
+        df = build()
+        self.catalog.write(
+            table,
+            df,
+            lineage={"stage": name, "fingerprint": fingerprint},
+            metrics=metrics or {},
+            partition_by=partition_by,
+        )
+        self.timings[name] = time.time() - t0
+        return self.catalog.read(self.spark, table)
+
+    # -- stages ---------------------------------------------------------
+    def ingest(self) -> DataFrame:
+        fp = _fp({"synth": vars(self.synth_cfg)})
+        tables = synth_tables(self.spark, self.synth_cfg)
+        docs = self._run_stage(
+            "ingest", "documents", fp, lambda: tables["documents"]
+        )
+        self._run_stage("ingest_labels", "labels", fp, lambda: tables["labels"])
+        self._run_stage(
+            "ingest_expected",
+            "expected_clusters",
+            fp,
+            lambda: tables["expected_clusters"],
+        )
+        return docs
+
+    def run(self, evaluate: bool = True) -> dict:
+        docs = self.ingest()
+        in_snap = self.catalog.current_snapshot("documents").snapshot_id
+
+        norm_fp = _fp({"normalize": 1, "in": in_snap})
+        doc_norm = self._run_stage(
+            "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
+        )
+
+        block_fp = _fp({"block": self.block_cfg.fingerprint(), "in": norm_fp})
+
+        def build_pairs():
+            pairs, key_metrics = candidate_pairs(doc_norm, self.block_cfg)
+            self.catalog.write(
+                "block_key_metrics",
+                key_metrics.groupBy("class").agg(
+                    F.count("*").alias("n_keys"),
+                    F.sum("n_docs").alias("n_doc_keys"),
+                ),
+                lineage={"stage": "block", "fingerprint": block_fp},
+            )
+            return pairs
+
+        pairs = self._run_stage("block", "pairs", block_fp, build_pairs)
+
+        score_fp = _fp({"score": self.score_cfg.fingerprint(), "in": block_fp})
+        scored = self._run_stage(
+            "score",
+            "scores",
+            score_fp,
+            lambda: score_pairs(pairs, doc_norm, self.score_cfg),
+        )
+        edges = self._run_stage(
+            "edges",
+            "edges",
+            _fp({"edges": self.score_cfg.threshold, "in": score_fp}),
+            lambda: edges_above_threshold(scored, self.score_cfg),
+        )
+
+        cluster_fp = _fp({"cluster": 1, "in": score_fp})
+        assignments = self._run_stage(
+            "cluster",
+            "clusters",
+            cluster_fp,
+            lambda: assign_clusters(docs, connected_components(edges)),
+        )
+
+        result: dict = {
+            "n_docs": self.catalog.current_snapshot("documents").row_count,
+            "n_pairs": self.catalog.current_snapshot("pairs").row_count,
+            "n_edges": self.catalog.current_snapshot("edges").row_count,
+            "n_clusters_rows": self.catalog.current_snapshot(
+                "clusters"
+            ).row_count,
+            "timings": dict(self.timings),
+        }
+        if evaluate and self.catalog.exists("labels"):
+            labels = self.catalog.read(self.spark, "labels")
+            result["metrics"] = pairwise_f1(labels, assignments)
+            self.catalog.write(
+                "metrics",
+                self.spark.createDataFrame(
+                    [
+                        {
+                            "stage": "evaluate",
+                            "metric": k,
+                            "value": float(v),
+                        }
+                        for k, v in result["metrics"].items()
+                    ]
+                ),
+                lineage={"stage": "evaluate", "fingerprint": cluster_fp},
+            )
+        return result

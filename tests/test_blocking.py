@@ -1,0 +1,130 @@
+"""Blocking: pair completeness, canonicalization, salting exactness
+(SURVEY.md §5.1 "salting (pair generated exactly once)")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.block import (
+    BlockConfig,
+    blocking_keys,
+    candidate_pairs,
+)
+from chameleon_entity_linking_spark.operators.normalize import normalize
+
+
+def _docs(spark, rows):
+    """rows: list of (doc_id, text, media_refs)."""
+    data = [
+        (
+            doc_id,
+            [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+            + [
+                {"kind": "image", "text": "", "media_ref": m, "offset": i + 1}
+                for i, m in enumerate(media)
+            ],
+        )
+        for doc_id, text, media in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+class TestBlockingKeys:
+    def test_key_families(self, spark):
+        docs = _docs(spark, [("d1", "Acme Corp", ["mAAA"])])
+        norm = normalize(docs)
+        keys = {r.key for r in blocking_keys(norm, BlockConfig()).collect()}
+        assert "t:acme" in keys and "t:corp" in keys
+        assert "m:mAAA" in keys
+        assert sum(k.startswith("l:") for k in keys) == 16
+
+    def test_media_only_doc_still_keyed(self, spark):
+        docs = spark.createDataFrame(
+            [("d1", [{"kind": "image", "text": "", "media_ref": "mX", "offset": 0}])],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        keys = {r.key for r in blocking_keys(normalize(docs), BlockConfig()).collect()}
+        assert "m:mX" in keys
+
+
+class TestCandidatePairs:
+    def test_shared_token_pairs(self, spark):
+        docs = _docs(
+            spark,
+            [
+                ("d1", "acme corp", []),
+                ("d2", "acme inc", []),
+                ("d3", "zebra ltd", []),
+            ],
+        )
+        pairs, _ = candidate_pairs(normalize(docs), BlockConfig(use_lsh_keys=False))
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert ("d1", "d2") in got
+        assert not any("d3" in p for p in got)
+
+    def test_canonical_and_unique(self, spark):
+        docs = _docs(
+            spark,
+            [(f"d{i}", "same exact name text", ["mS"]) for i in range(6)],
+        )
+        pairs, _ = candidate_pairs(normalize(docs), BlockConfig())
+        rows = pairs.collect()
+        assert all(r.doc_a < r.doc_b for r in rows)
+        assert len(rows) == len({(r.doc_a, r.doc_b) for r in rows}) == 15
+
+    def test_salting_generates_every_pair_exactly_once(self, spark):
+        # one hot key with 40 members, cap 5 -> salted path (s=8 groups)
+        n = 40
+        docs = _docs(spark, [(f"d{i:02d}", "hotword", []) for i in range(n)])
+        cfg = BlockConfig(use_lsh_keys=False, hot_key_cap=5, max_salts=16)
+        pairs, metrics = candidate_pairs(normalize(docs), cfg)
+        rows = pairs.collect()
+        expected = {
+            (f"d{i:02d}", f"d{j:02d}")
+            for i in range(n)
+            for j in range(i + 1, n)
+        }
+        assert {(r.doc_a, r.doc_b) for r in rows} == expected
+        assert len(rows) == len(expected)  # exactly once
+        classes = {r["class"]: r.n_docs for r in metrics.collect()}
+        assert classes.get("salted") == n
+
+    def test_ultra_hot_key_dropped_and_counted(self, spark):
+        docs = _docs(spark, [(f"d{i:02d}", "stopword", []) for i in range(30)])
+        cfg = BlockConfig(use_lsh_keys=False, hot_key_cap=2, max_salts=2)
+        pairs, metrics = candidate_pairs(normalize(docs), cfg)
+        assert pairs.count() == 0
+        dropped = metrics.where(F.col("class") == "dropped").collect()
+        assert len(dropped) == 1 and dropped[0].n_docs == 30
+
+    def test_singleton_keys_generate_nothing(self, spark):
+        docs = _docs(
+            spark, [("d1", "unique alpha", []), ("d2", "unique beta", [])]
+        )
+        pairs, _ = candidate_pairs(
+            normalize(docs), BlockConfig(use_lsh_keys=False)
+        )
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert got == {("d1", "d2")}  # only via shared 'unique' token
+
+    def test_lsh_blocks_near_duplicates_without_shared_name_tokens(self, spark):
+        text_a = "the quick brown fox jumps over the lazy dog tonight"
+        text_b = "the quick brown fox jumps over the lazy dog tonite"
+        docs = spark.createDataFrame(
+            [
+                ("d1", [
+                    {"kind": "text", "text": "nameone", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": text_a, "media_ref": "", "offset": 1},
+                ]),
+                ("d2", [
+                    {"kind": "text", "text": "nametwo", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": text_b, "media_ref": "", "offset": 1},
+                ]),
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        cfg = BlockConfig(use_token_keys=False, use_media_keys=False)
+        pairs, _ = candidate_pairs(normalize(docs), cfg)
+        assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {("d1", "d2")}

@@ -1,0 +1,95 @@
+"""Connected-components correctness vs a union-find oracle
+(SURVEY.md §5.1-5.2: hand-built graphs + randomized oracle)."""
+
+import numpy as np
+import pytest
+
+from chameleon_entity_linking_spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+
+
+def _uf_oracle(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _run_cc(spark, nodes, edges):
+    edges_df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] or [("x", "x", 0.0)],
+        "doc_a string, doc_b string, score double",
+    )
+    if not edges:
+        edges_df = edges_df.where("doc_a <> doc_a")
+    docs_df = spark.createDataFrame([(n,) for n in nodes], "doc_id string")
+    got = assign_clusters(docs_df, connected_components(edges_df))
+    return {r.doc_id: r.cluster_id for r in got.collect()}
+
+
+class TestConnectedComponents:
+    def test_chain(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        assert _run_cc(spark, nodes, [("a", "b"), ("b", "c"), ("c", "d")]) == {
+            n: "a" for n in nodes
+        }
+
+    def test_star(self, spark):
+        nodes = ["m", "x", "y", "z"]
+        got = _run_cc(spark, nodes, [("m", "x"), ("m", "y"), ("m", "z")])
+        assert got == {n: "m" for n in nodes}
+
+    def test_two_components_plus_singleton(self, spark):
+        nodes = ["a", "b", "c", "p", "q", "solo"]
+        got = _run_cc(spark, nodes, [("a", "b"), ("b", "c"), ("p", "q")])
+        assert got == {
+            "a": "a",
+            "b": "a",
+            "c": "a",
+            "p": "p",
+            "q": "p",
+            "solo": "solo",
+        }
+
+    def test_self_loop_and_duplicates(self, spark):
+        nodes = ["a", "b"]
+        got = _run_cc(
+            spark, nodes, [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")]
+        )
+        assert got == {"a": "a", "b": "a"}
+
+    def test_empty_edges(self, spark):
+        got = _run_cc(spark, ["a", "b"], [])
+        assert got == {"a": "a", "b": "b"}
+
+    def test_long_chain_logarithmic_rounds(self, spark):
+        # chain of 40: naive propagation needs ~40 rounds; star
+        # contraction must finish well under max_rounds=25
+        nodes = [f"n{i:03d}" for i in range(40)]
+        edges = list(zip(nodes, nodes[1:]))
+        got = _run_cc(spark, nodes, edges)
+        assert set(got.values()) == {"n000"}
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_graph_vs_union_find(self, spark, seed):
+        rng = np.random.RandomState(seed)
+        nodes = [f"v{i:02d}" for i in range(30)]
+        edges = [
+            tuple(sorted(rng.choice(nodes, 2, replace=False)))
+            for _ in range(25)
+        ]
+        assert _run_cc(spark, nodes, edges) == _uf_oracle(nodes, edges)

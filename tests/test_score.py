@@ -1,0 +1,122 @@
+"""Scoring-stage unit tests: component scores + weighted mix."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.normalize import normalize
+from chameleon_entity_linking_spark.operators.score import (
+    ScoreConfig,
+    edges_above_threshold,
+    score_pairs,
+)
+
+
+def _norm(spark, rows):
+    data = [
+        (
+            doc_id,
+            [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+            + [
+                {"kind": "image", "text": "", "media_ref": m, "offset": i + 1}
+                for i, m in enumerate(media)
+            ],
+        )
+        for doc_id, text, media in rows
+    ]
+    return normalize(
+        spark.createDataFrame(
+            data,
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+    )
+
+
+class TestScorePairs:
+    def test_identical_docs_score_one(self, spark):
+        norm = _norm(
+            spark,
+            [("d1", "acme corp builds rockets", ["mA"]),
+             ("d2", "acme corp builds rockets", ["mA"])],
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "doc_a string, doc_b string"
+        )
+        row = score_pairs(pairs, norm, ScoreConfig()).collect()[0]
+        assert row.s_jw == pytest.approx(1.0)
+        assert row.s_lev == pytest.approx(1.0)
+        assert row.s_tok == pytest.approx(1.0)
+        assert row.s_cos == pytest.approx(1.0, abs=1e-6)
+        assert row.s_media == pytest.approx(1.0)
+        assert row.score == pytest.approx(1.0, abs=1e-6)
+
+    def test_typo_pair_beats_unrelated_pair(self, spark):
+        norm = _norm(
+            spark,
+            [
+                ("d1", "acme corp builds rockets", []),
+                ("d2", "acme korp builds rockets", []),
+                ("d3", "zebra penguin iceberg shop", []),
+            ],
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2"), ("d1", "d3")], "doc_a string, doc_b string"
+        )
+        rows = {
+            (r.doc_a, r.doc_b): r.score
+            for r in score_pairs(pairs, norm, ScoreConfig()).collect()
+        }
+        assert rows[("d1", "d2")] > 0.8 > rows[("d1", "d3")]
+
+    def test_media_mix_weighting(self, spark):
+        """With media on either side, mix is 0.9*text + 0.1*media
+        (the reference's mix, BiEncoder/test.py:120)."""
+        norm = _norm(
+            spark,
+            [("d1", "same words here", ["mA"]), ("d2", "same words here", ["mB"])],
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "doc_a string, doc_b string"
+        )
+        row = score_pairs(pairs, norm, ScoreConfig()).collect()[0]
+        # text components all 1.0, media jaccard 0 -> score = 0.9
+        assert row.score == pytest.approx(0.9, abs=1e-6)
+
+    def test_no_media_uses_pure_text_score(self, spark):
+        norm = _norm(
+            spark, [("d1", "same words", []), ("d2", "same words", [])]
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "doc_a string, doc_b string"
+        )
+        row = score_pairs(pairs, norm, ScoreConfig()).collect()[0]
+        assert row.score == pytest.approx(1.0, abs=1e-6)
+
+    def test_threshold_filter(self, spark):
+        norm = _norm(
+            spark,
+            [("d1", "alpha beta", []), ("d2", "alpha beta", []),
+             ("d3", "totally different thing", [])],
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2"), ("d1", "d3")], "doc_a string, doc_b string"
+        )
+        cfg = ScoreConfig()
+        edges = edges_above_threshold(score_pairs(pairs, norm, cfg), cfg)
+        got = [(r.doc_a, r.doc_b) for r in edges.collect()]
+        assert got == [("d1", "d2")]
+
+    def test_score_plan_has_no_python_row_udf(self, spark):
+        """Guardrail: scoring must stay Arrow-batched (BatchEvalPython
+        = row-at-a-time Python, the slow path)."""
+        norm = _norm(spark, [("d1", "a b", []), ("d2", "a b", [])])
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "doc_a string, doc_b string"
+        )
+        plan = (
+            score_pairs(pairs, norm, ScoreConfig())
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" in plan
