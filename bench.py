@@ -1,0 +1,196 @@
+"""Benchmark entry point (driver contract + scaling evidence).
+
+Default mode — one JSON line:
+  * times a representative set of driver queries at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  * runs the flagship ER pipeline (synthetic corpus sized by env
+    BENCH_ENTITIES, default 20000 -> ~70k docs) and reports per-stage
+    seconds + blocking->score->cluster docs/sec
+
+--scaling mode (north-rule evidence, N vs 4N):
+  runs the same pipeline at local[8] and local[32] in fresh
+  subprocesses (same input seed/scale) and reports throughput at both
+  plus efficiency = T(4N) / (4 * T(N)); results also land in
+  bench/SCALING.md.
+
+--worker is internal (one pipeline run in this process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "20000"))
+
+QUERY_NAMES = [
+    "scan_filter_agg",
+    "join_agg_nation_revenue",
+    "window_topk",
+    "sessionization",
+    "normalize_tokens",
+    "exact_dedup",
+    "trigram_blocking_pairs",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "connected_components",
+    "cosine_topk",
+    "embedding_buckets",
+]
+
+
+def run_pipeline(cores: int, entities: int, seed: int = 42) -> dict:
+    """One full pipeline run in a fresh warehouse; returns timings."""
+    from chameleon_entity_linking_spark.plans.pipeline import Pipeline
+    from chameleon_entity_linking_spark.plans.session import get_spark
+    from chameleon_entity_linking_spark.sources.synth import SynthConfig
+
+    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8))
+    with tempfile.TemporaryDirectory() as wh:
+        pipe = Pipeline(
+            spark, wh, synth_cfg=SynthConfig(n_entities=entities, seed=seed)
+        )
+        result = pipe.run(evaluate=True)
+    t = result["timings"]
+    measured = t["block"] + t["score"] + t["edges"] + t["cluster"]
+    return {
+        "cores": cores,
+        "n_docs": result["n_docs"],
+        "n_pairs": result["n_pairs"],
+        "stage_sec": {k: round(v, 2) for k, v in t.items()},
+        "pipeline_sec": round(measured, 2),
+        "docs_per_sec": round(result["n_docs"] / measured, 1),
+        "f1": round(result.get("metrics", {}).get("f1", -1), 5),
+    }
+
+
+def worker_main(args) -> int:
+    out = run_pipeline(args.cores, args.entities, args.seed)
+    print("WORKER_RESULT " + json.dumps(out))
+    return 0
+
+
+def _spawn(cores: int, entities: int) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            "--cores",
+            str(cores),
+            "--entities",
+            str(entities),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT ") :])
+    raise RuntimeError(
+        f"worker (cores={cores}) failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def scaling_main(entities: int) -> int:
+    lo = _spawn(8, entities)
+    hi = _spawn(32, entities)
+    efficiency = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "n_docs": lo["n_docs"],
+        "low": lo,
+        "high": hi,
+    }
+    print(json.dumps(out))
+    md = [
+        "# SCALING — local[8] vs local[32] (sandbox stand-in for N vs 4N executors)",
+        "",
+        f"Input: deterministic synthetic corpus, {lo['n_docs']} interleaved docs "
+        f"({entities} entities, seed 42). Measured span: blocking -> scoring -> clustering",
+        "(synthesis/normalize excluded; each run in a fresh process + warehouse).",
+        "",
+        "| cores | pipeline sec | docs/sec | F1 |",
+        "|---|---|---|---|",
+        f"| 8 | {lo['pipeline_sec']} | {lo['docs_per_sec']} | {lo['f1']} |",
+        f"| 32 | {hi['pipeline_sec']} | {hi['docs_per_sec']} | {hi['f1']} |",
+        "",
+        f"**Scaling efficiency** = {hi['docs_per_sec']} / (4 x {lo['docs_per_sec']}) "
+        f"= **{efficiency:.3f}** (target >= 0.8).",
+        "",
+        "Per-stage seconds:",
+        "",
+        f"- local[8]:  {json.dumps(lo['stage_sec'])}",
+        f"- local[32]: {json.dumps(hi['stage_sec'])}",
+    ]
+    os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    with open(os.path.join(REPO, "bench", "SCALING.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    return 0
+
+
+def default_main() -> int:
+    import __spark_entry__ as entry
+    from chameleon_entity_linking_spark.plans.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    queries = entry.queries()
+    per_query: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 2)
+    # flagship ER pipeline on the driver corpus at this sf
+    t0 = time.time()
+    entry.queries()["er_pipeline_clusters"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    per_query["er_pipeline_clusters"] = round(time.time() - t0, 2)
+    spark.stop()
+    # synthetic-corpus pipeline at bench scale (fresh process not needed:
+    # same cores)
+    pipe = _spawn(CPUS, BENCH_ENTITIES)
+    out = {
+        "metric": "e2e_synth_pipeline_sec",
+        "value": pipe["pipeline_sec"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "docs_per_sec": pipe["docs_per_sec"],
+        "n_docs": pipe["n_docs"],
+        "f1": pipe["f1"],
+        "cores": CPUS,
+        "stage_sec": pipe["stage_sec"],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--entities", type=int, default=BENCH_ENTITIES)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    if a.worker:
+        sys.exit(worker_main(a))
+    elif a.scaling:
+        sys.exit(scaling_main(a.entities))
+    else:
+        sys.exit(default_main())

@@ -43,6 +43,11 @@ class ScoreConfig:
         # utils/entity_extractor.py:10): transitive closure recovers
         # borderline true pairs, so a precision-leaning cut wins
         threshold: float = 0.62,
+        # cap on name-span chars entering the O(n^2) string kernels —
+        # bounds per-pair cost (the truncation analogue of the
+        # reference's max_length=512 tokenizer cap,
+        # BiEncoder/model.py:46-47)
+        max_name_chars: int = 100,
     ):
         self.w_jw = w_jw
         self.w_lev = w_lev
@@ -51,6 +56,7 @@ class ScoreConfig:
         self.w_text = w_text
         self.w_media = w_media
         self.threshold = threshold
+        self.max_name_chars = max_name_chars
 
     def fingerprint(self) -> dict:
         return dict(vars(self))
@@ -108,6 +114,17 @@ def score_pairs(
     joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
         _features(doc_norm, "b"), "doc_b"
     )
+    # JVM-side truncation: bounds the quadratic kernels AND the Arrow
+    # transfer size before anything reaches Python
+    joined = joined.withColumn(
+        "name_a", F.substring("name_a", 1, cfg.max_name_chars)
+    ).withColumn("name_b", F.substring("name_b", 1, cfg.max_name_chars))
+    # Explicit repartition before the Python stage: AQE coalesces the
+    # join output by *bytes* (fine for JVM ops), but pandas-UDF cost is
+    # per-row CPU — a byte-coalesced single partition would serialize
+    # the whole scoring pass onto one core.
+    spark = pairs.sparkSession
+    joined = joined.repartition(spark.sparkContext.defaultParallelism)
     text_score = (
         cfg.w_jw * F.col("s_jw")
         + cfg.w_lev * F.col("s_lev")

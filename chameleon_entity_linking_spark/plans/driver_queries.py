@@ -1,0 +1,886 @@
+"""Driver-contract queries: each entry maps a SURVEY.md §2 operator
+(or a training-data-pipeline operator) to a Spark implementation plus
+an exactly-equivalent DuckDB oracle SQL string.
+
+Parity disciplines (so the driver's order-insensitive value-hash
+matches bit-for-bit):
+- money/measure sums -> exact integers: ``sum(round(x*100) :: bigint)``
+  (no float accumulation-order sensitivity);
+- ratios -> exact small-int divisions (identical doubles both sides);
+- dot products / norms -> *ordered* sequential folds (Spark
+  ``aggregate``, DuckDB ``list_reduce``) so doubles are bitwise equal;
+- hashes -> md5 hex prefixes (both engines agree), never engine hash();
+- every rank window carries a total-order tiebreak;
+- aggregate/computed columns aliased identically on both sides.
+
+REGISTRY maps name -> (spark_fn, oracle_sql | None). ``None`` marks
+genuinely non-SQL-expressible entries (iterative CC is SQL-oracled via
+a recursive CTE; the full ER pipeline is rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.functions.textstats import LANG_MARKERS
+from chameleon_entity_linking_spark.sources.readers import load
+
+# --------------------------------------------------------------------------
+# shared token expressions (see functions/tokenize.py for the contract)
+# --------------------------------------------------------------------------
+
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _toks(col="text"):
+    return F.filter(
+        F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def _cents(col, scale=100):
+    """Exact integer units — accumulation-order-proof aggregation."""
+    return F.round(col * scale, 0).cast("long")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped operator family (SURVEY.md §2.1/2.3/2.4/2.5/2.6)
+# --------------------------------------------------------------------------
+
+
+def q_scan_filter_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 scan + P1/P8 filter/project + A5 aggregate (TPC-H Q1 shape)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_SCAN_FILTER_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(round(l_quantity*100,0)::BIGINT)::BIGINT AS sum_qty_cents,
+       sum(round(l_extendedprice*(1-l_discount)*100,0)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_agg_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2 multi-way equi-join + A5 (broadcast the dimension)."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+SQL_JOIN_AGG = """
+SELECT n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice*100,0)::BIGINT)::BIGINT AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """P2/J7 membership semi-join (prune_retrieved analogue)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 anti-join (merge-with-dedup complement)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       min(c_custkey) AS min_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 union-with-dedup run merge (merge_results analogue)."""
+    orders = load(spark, sf, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    return a.unionByName(b).distinct().agg(
+        F.count("*").alias("n_merged_customers")
+    )
+
+
+SQL_UNION_DEDUP = """
+SELECT count(*)::BIGINT AS n_merged_customers FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+)
+"""
+
+
+def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/W3/W6 per-group rank + reciprocal-rank score emission."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("qid"),
+            F.col("o_orderkey").alias("pid"),
+            "rank",
+            F.round(F.lit(1.0) / (F.col("rank") + 1), 6).alias("rr_score"),
+        )
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey AS qid, o_orderkey AS pid, rank,
+       round(1.0/(rank+1), 6) AS rr_score
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_negative_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 per-system negative cap (<=2 per (custkey, priority))."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+SQL_NEGATIVE_CAP = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_kept
+FROM (
+  SELECT o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+GROUP BY o_orderpriority
+"""
+
+
+def q_group_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2 group-collect with deterministic ordering."""
+    supplier = load(spark, sf, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+            "suppliers"
+        ),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+SQL_GROUP_COLLECT = """
+SELECT s_nationkey,
+       string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+       count(*)::BIGINT AS n_suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 weighted score mix (the reference's 0.9/0.1,
+    BiEncoder/test.py:120) in exact cents."""
+    li = load(spark, sf, "lineitem")
+    mixed = 0.9 * F.col("l_extendedprice") + 0.1 * F.col("l_tax")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(_cents(mixed)).alias("mix_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_WEIGHTED_MIX = """
+SELECT l_returnflag,
+       sum(round((0.9*l_extendedprice + 0.1*l_tax)*100,0)::BIGINT)::BIGINT AS mix_cents,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 micro-batch/streaming-window analogue: 5-minute tumbling
+    aggregation by event type (batch-equivalent of the streaming op)."""
+    ev = load(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")  # parquet yields TIMESTAMP_NTZ
+    bucket = F.floor(F.unix_micros(ts) / F.lit(300_000_000)).alias("bucket")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents(F.col("value"), 1000)).alias("value_millis"),
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT (epoch_us(ts) // 300000000)::BIGINT AS bucket, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value*1000,0)::BIGINT)::BIGINT AS value_millis
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap session counts per user (lag +
+    cumulative new-session flags — the batch form of session_window)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")  # parquet yields TIMESTAMP_NTZ
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    new_s = F.when(
+        F.lag(ts).over(w).isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = """
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# Text-analysis operators over `documents` (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+
+def q_normalize_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """F7/P8/F1 tokenize + normalize + basic stats."""
+    docs = load(spark, sf, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.get(toks, 0).alias("first_token"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_NORMALIZE_TOKENS = f"""
+SELECT doc_id,
+       len(t)::INT AS n_tokens,
+       len(list_distinct(t))::INT AS n_distinct_tokens,
+       t[1] AS first_token,
+       length(text)::INT AS n_chars_actual
+FROM (SELECT doc_id, text, {TOKS_SQL} AS t FROM documents)
+"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length/stopword/alpha ratios -> exact doubles."""
+    docs = load(spark, sf, "documents")
+    en = sorted(LANG_MARKERS["en"])
+    toks = _toks()
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, stop / n).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        (alpha / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
+        F.when(
+            n > 0, F.least(n / F.lit(100.0), F.lit(1.0)) * (stop / n + 0.5)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("quality"),
+    )
+
+
+def _sql_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
+    return f"""
+SELECT doc_id,
+       len(t)::INT AS n_tokens,
+       CASE WHEN len(t) > 0
+            THEN len(list_filter(t, x -> x IN ({en}))) / len(t)
+            ELSE 0.0 END AS stopword_ratio,
+       length(regexp_replace(text, '[^a-z]', '', 'g'))
+         / greatest(length(text), 1) AS alpha_ratio,
+       CASE WHEN len(t) > 0
+            THEN least(len(t)/100.0, 1.0)
+                 * (len(list_filter(t, x -> x IN ({en})))/len(t) + 0.5)
+            ELSE 0.0 END AS quality
+FROM (SELECT doc_id, text, {TOKS_SQL} AS t FROM documents)
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker ratios + argmax with
+    deterministic (score desc, lang asc) tie-break."""
+    docs = load(spark, sf, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    scores = {}
+    for lang in sorted(LANG_MARKERS):
+        marks = sorted(LANG_MARKERS[lang])
+        scores[lang] = (
+            F.when(
+                n > 0, F.size(F.filter(toks, lambda t: t.isin(*marks))) / n
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"score_{lang}")
+        )
+    out = docs.select("doc_id", *scores.values())
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earliest alphabetical wins ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn(
+        "predicted", F.when(best >= 0.05, pred).otherwise(F.lit("und"))
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        marks = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+        score_cols.append(
+            f"CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ({marks})))/len(t) ELSE 0.0 END AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+       CASE WHEN {best} >= 0.05 THEN {pred} ELSE 'und' END AS predicted
+FROM (
+  SELECT doc_id, {', '.join(score_cols)}
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+)
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), 0)).alias(
+            "n_word_pieces"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_number_pieces"
+        ),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len({TOKS_SQL})::INT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+'))::INT AS n_word_pieces,
+       len(regexp_extract_all(text, '[0-9]+'))::INT AS n_number_pieces
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: 4 smallest window-8 hashes of the
+    first 64 chars, hex-joined (rolling-hash document fingerprint)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 64).alias("s")
+    )
+    windows = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("s") - 7, F.lit(1)))
+        ).alias("i"),
+        "s",
+    ).select(
+        "doc_id",
+        F.substring(F.md5(F.substring("s", F.col("i"), 8).cast("binary")), 1, 8).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        windows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), "-").alias("fingerprint"))
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, string_agg(h, '-' ORDER BY h) AS fingerprint
+FROM (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM (
+    SELECT doc_id, substr(md5(substr(s, i, 8)), 1, 8) AS h
+    FROM (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+         LATERAL unnest(generate_series(1, greatest(length(s)-7, 1))) AS u(i)
+  )
+) WHERE rn <= 4
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication family (exact, MinHash-LSH, SimHash, n-gram Jaccard)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 exact dedup by content hash: group size + keeper id."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+# token 3-gram (sequence shingle) arrays: the blocking keys for pair
+# generation; `i` 1-indexed in DuckDB lists, 0-indexed in Spark.
+TRIGRAMS_SQL = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "for i in range(1, greatest(len(t)-1, 1))])"
+)
+
+
+def _trigrams_col():
+    t = _toks()
+    return F.when(
+        F.size(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/J5 blocking: docs sharing a token-3-gram key -> canonical
+    candidate pairs with shared-key counts."""
+    docs = load(spark, sf, "documents")
+    keys = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(_trigrams_col()).alias("key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_keys"))
+    )
+
+
+SQL_TRIGRAM_PAIRS = f"""
+WITH k AS (
+  SELECT doc_id::VARCHAR AS doc_id, unnest({TRIGRAMS_SQL}) AS key
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_keys
+FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_minhash_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (md5 family, J5 analogue): 8 per-seed mins
+    over distinct tokens, as fixed-width hex strings."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
+    )
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")).cast("binary")),
+                1,
+                16,
+            )
+        ).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash() -> str:
+    cols = ", ".join(
+        f"min(substr(md5('{i}:' || tok), 1, 16)) AS mh{i}" for i in range(8)
+    )
+    return f"""
+SELECT doc_id, {cols}
+FROM (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 4 bands x 2 rows over the 8-hash
+    signature; pairs sharing any band, with estimated Jaccard."""
+    sig = q_minhash_tokens(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{i}:"),
+                        F.col(f"mh{2 * i}"),
+                        F.col(f"mh{2 * i + 1}"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    ) / F.lit(8.0)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+def _sql_minhash_near_dup() -> str:
+    band_exprs = ", ".join(
+        f"'b{i}:' || mh{2 * i} || mh{2 * i + 1} AS band{i}" for i in range(4)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH sig AS ({_sql_minhash()}),
+bands AS (
+  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band
+  FROM (SELECT doc_id, {band_exprs} FROM sig)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b, ({est}) / 8.0 AS est_jaccard
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = pairs.doc_a
+  JOIN sig sb ON sb.doc_id = pairs.doc_b
+) WHERE est_jaccard >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash (32-bit) over distinct tokens: md5-derived bit votes."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    bits = tok.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")
+        ).alias("simhash32")
+    )
+
+
+SQL_SIMHASH = f"""
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash32
+FROM (
+  SELECT doc_id, b, sum(vote)::BIGINT AS s
+  FROM (
+    SELECT doc_id, b,
+           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok
+            FROM documents)
+    ), LATERAL unnest(generate_series(0, 31)) AS u(b)
+  ) GROUP BY doc_id, b
+) GROUP BY doc_id
+"""
+
+
+def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 transitive clustering: edges = pairs sharing >= 3 trigram
+    keys; large-star/small-star CC vs a recursive-CTE closure oracle."""
+    from chameleon_entity_linking_spark.operators.cluster import (
+        assign_clusters,
+        connected_components,
+    )
+
+    edges = (
+        q_trigram_blocking_pairs(spark, sf)
+        .where(F.col("n_shared_keys") >= 3)
+        .select("doc_a", "doc_b")
+    )
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return assign_clusters(docs, connected_components(edges))
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_TRIGRAM_PAIRS}) WHERE n_shared_keys >= 3
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_id::VARCHAR, doc_id::VARCHAR FROM documents
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings` (ANN family)
+# --------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Ordered sequential fold -> bitwise-identical doubles in DuckDB."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"[{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, len({a})+1)]), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5: query vecs (vec_id < 10) vs corpus
+    (vec_id >= 10); the exact-rescoring baseline of the ANN family."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid", ), F.col("embedding").alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "qid", "cid", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+SQL_COSINE_TOPK = f"""
+SELECT qid, cid, cosine, rank FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           round({_sql_dot('q.embedding', 'c.embedding')}
+                 / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                    * sqrt({_sql_dot('c.embedding', 'c.embedding')})), 6) AS cosine
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id >= 10
+  )
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-bit bucket over the first 8
+    dims -> bucket histogram (the shuffle-key layout of bucketed ANN)."""
+    emb = load(spark, sf, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.get("embedding", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ]
+    )
+    return emb.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+SQL_EMBEDDING_BUCKETS = """
+SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec_id
+FROM (
+  SELECT vec_id,
+         concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+         ) AS bucket
+  FROM embeddings
+) GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict = {
+    "scan_filter_agg": (q_scan_filter_agg, SQL_SCAN_FILTER_AGG),
+    "join_agg_nation_revenue": (q_join_agg_nation_revenue, SQL_JOIN_AGG),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "negative_cap": (q_negative_cap, SQL_NEGATIVE_CAP),
+    "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
+    "weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "normalize_tokens": (q_normalize_tokens, SQL_NORMALIZE_TOKENS),
+    "quality_score": (q_quality_score, _sql_quality()),
+    "lang_id": (q_lang_id, _sql_lang_id()),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "trigram_blocking_pairs": (q_trigram_blocking_pairs, SQL_TRIGRAM_PAIRS),
+    "minhash_tokens": (q_minhash_tokens, _sql_minhash()),
+    "minhash_near_dup_pairs": (q_minhash_near_dup_pairs, _sql_minhash_near_dup()),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_buckets": (q_embedding_buckets, SQL_EMBEDDING_BUCKETS),
+}
