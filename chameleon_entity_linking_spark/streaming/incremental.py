@@ -1,0 +1,147 @@
+"""Incremental ingest: Structured Streaming over arriving documents.
+
+The reference's only "streaming" is resumable batched extraction —
+append-mode TSV + ``--start_index`` cursors + a dead-letter file
+(`utils/entity_extractor.py:12,33-38,51`; SURVEY.md §2.10 T1-T4).
+This module is the Spark-native version: a file-source stream over
+the documents directory, normalized per micro-batch inside
+``foreachBatch``, committed to the catalog as *append* snapshots with
+the batch id in lineage, with malformed rows routed to an ``errors``
+table. The stream checkpoint gives exactly-once per-file processing
+across restarts (the --start_index analogue, but transactional).
+
+Scale notes: file-source streaming is the local stand-in for
+Kafka/queue sources; the per-batch body is the same `normalize`
+operator the batch pipeline uses (map-only, no shuffle), so the
+streaming path inherits its scaling behavior. `maxFilesPerTrigger`
+bounds micro-batch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.normalize import normalize
+from chameleon_entity_linking_spark.sources.catalog import ParquetCatalog
+from chameleon_entity_linking_spark.sources.synth import DOC_SCHEMA
+
+
+def validate_documents(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a raw batch into (valid, dead_letter).
+
+    Dead-letter conditions (K3/T4 analogue): null/empty doc_id, null
+    spans, or a span violating the invariant offset == position.
+    """
+    checked = batch.withColumn(
+        "reason",
+        F.when(
+            F.col("doc_id").isNull() | (F.col("doc_id") == ""), "null_doc_id"
+        )
+        .when(F.col("spans").isNull(), "null_spans")
+        .when(
+            F.exists(
+                F.expr("transform(spans, (s, i) -> s.offset = i)"),
+                lambda ok: ~ok,
+            ),
+            "offset_order_violation",
+        )
+        .otherwise(F.lit(None)),
+    )
+    valid = checked.where(F.col("reason").isNull()).drop("reason")
+    dead = checked.where(F.col("reason").isNotNull()).select(
+        "doc_id", "reason"
+    )
+    return valid, dead
+
+
+def start_incremental_normalize(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Start the stream; returns the StreamingQuery.
+
+    Callers drive it with ``query.processAllAvailable()`` (tests/local)
+    or leave it running (service mode).
+    """
+    catalog = ParquetCatalog(warehouse)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        valid, dead = validate_documents(
+            batch.dropDuplicates(["doc_id"])  # idempotence within batch
+        )
+        catalog.write(
+            "doc_norm_stream",
+            normalize(valid),
+            mode="append",
+            lineage={"stage": "stream_normalize", "batch_id": batch_id},
+            metrics={"batch_id": batch_id},
+        )
+        if dead.take(1):
+            catalog.write(
+                "errors",
+                dead.withColumn("batch_id", F.lit(batch_id)),
+                mode="append",
+                lineage={"stage": "dead_letter", "batch_id": batch_id},
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_event_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events table
+    driven as a stream (the Structured Streaming form of the batch
+    `events_tumbling` query) — returns the final materialized result.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_event_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("select * from stream_event_counts")
