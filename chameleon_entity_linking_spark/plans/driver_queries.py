@@ -20,6 +20,7 @@ a recursive CTE; the full ER pipeline is rows-only).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -854,6 +855,89 @@ FROM (
 """
 
 
+
+
+def q_pair_string_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """B2 pairwise rerank scoring through the engine's *real* kernels:
+    trigram-blocked pairs scored with the same Arrow-batched
+    Jaro-Winkler/Levenshtein UDFs the ER pipeline uses, mixed
+    0.9/0.1-style — oracled against DuckDB's built-in string
+    functions (independent implementations, exact match)."""
+    from chameleon_entity_linking_spark.functions.strsim import (
+        jaro_winkler_batch,
+        levenshtein_batch,
+    )
+
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()))
+
+    @F.pandas_udf("long")
+    def lev(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(levenshtein_batch(a.tolist(), b.tolist()))
+
+    docs = load(spark, sf, "documents")
+    pairs = q_trigram_blocking_pairs(spark, sf).where(
+        (F.col("doc_a").cast("long") < 150) & (F.col("doc_b").cast("long") < 150)
+    )
+    texts = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
+    tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
+    joined = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        jw("head_a", "head_b").alias("s_jw"),
+        lev("head_a", "head_b").alias("lev_dist"),
+    )
+    return out.withColumn(
+        "mixed",
+        F.round(
+            0.9 * F.col("s_jw") + 0.1 * (1 - F.col("lev_dist") / 40.0), 6
+        ),
+    ).withColumn("s_jw", F.round("s_jw", 6))
+
+
+SQL_PAIR_STRING_SCORES = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_TRIGRAM_PAIRS})
+  WHERE doc_a::BIGINT < 150 AND doc_b::BIGINT < 150
+),
+t AS (SELECT doc_id::VARCHAR AS doc_id, substr(text, 1, 40) AS head FROM documents)
+SELECT doc_a, doc_b,
+       round(jaro_winkler_similarity(ta.head, tb.head), 6) AS s_jw,
+       levenshtein(ta.head, tb.head)::BIGINT AS lev_dist,
+       round(0.9 * jaro_winkler_similarity(ta.head, tb.head)
+             + 0.1 * (1 - levenshtein(ta.head, tb.head) / 40.0), 6) AS mixed
+FROM pairs
+JOIN t ta ON ta.doc_id = pairs.doc_a
+JOIN t tb ON tb.doc_id = pairs.doc_b
+"""
+
+
+def q_limit_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 early-stop limit (deterministic: ordered before limiting)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+SQL_LIMIT_SAMPLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -881,6 +965,8 @@ REGISTRY: dict = {
     "minhash_near_dup_pairs": (q_minhash_near_dup_pairs, _sql_minhash_near_dup()),
     "simhash": (q_simhash, SQL_SIMHASH),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "pair_string_scores": (q_pair_string_scores, SQL_PAIR_STRING_SCORES),
+    "limit_sample": (q_limit_sample, SQL_LIMIT_SAMPLE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_buckets": (q_embedding_buckets, SQL_EMBEDDING_BUCKETS),
 }
