@@ -1,24 +1,37 @@
-"""Scoring stage: batched pairwise match scoring -> edges.
+"""Scoring stage: lossless JVM cascade -> batched pairwise scoring.
 
 The rerank analogue (`BiEncoder/test.py:111-120`,
 `CrossEncoder/test.py:98-100`): candidate pairs are joined to both
-documents' features and scored in Arrow-batched pandas UDFs, then the
-reference's weighted mix is applied —
-``0.9 * text + 0.1 * entity`` (`BiEncoder/test.py:120`), where our
-text score blends Jaro-Winkler + Levenshtein-ratio on the name span,
-token Jaccard, and embedding cosine, and the entity score is exact
-media_ref Jaccard (the entity-title analogue).
+documents' features and scored, then the reference's weighted mix is
+applied — ``0.9 * text + 0.1 * entity`` (`BiEncoder/test.py:120`),
+where the text score blends Jaro-Winkler + Levenshtein-ratio on the
+name span, token Jaccard, and embedding cosine, and the entity score
+is exact media_ref Jaccard (the entity-title analogue).
 
-Physical shape: two hash joins on doc_id (pairs -> features for each
-side; the feature table is re-read, so callers should persist it),
-then map-only scoring. Cheap set ops (token/media Jaccard) stay
-JVM-side via ``array_intersect``/``array_union``; only name strings
-and embeddings cross into Python, batched.
+**Cascade (the scale-critical part).** Multi-key blocking at high
+fan-out emits ~100+ candidates/doc, most junk. The cheap components
+(token Jaccard, media Jaccard, embedding dot) are JVM-expressible —
+whole-stage-codegen, no Python. Since every component is <= 1, the
+best possible final score given only the cheap components is
+
+    upper = w_text * (w_jw + w_lev + w_tok*s_tok + w_cos*s_cos)
+            [+ w_media*s_media when media present]
+
+Pairs with ``upper < threshold`` CANNOT pass — they are pruned before
+the Python boundary. This is exact (zero recall loss), and it is the
+same retrieve-then-rerank shape as the reference: cheap recall stage,
+expensive rerank on survivors.
+
+Embedding cosine == dot product here because the encoder emits
+unit-norm (or zero) vectors — asserted in normalize's contract.
+
+Physical shape: two hash joins on doc_id, JVM filter, explicit
+repartition (AQE coalesces by bytes; pandas-UDF cost is per-row CPU),
+then Arrow-batched JW/Levenshtein on survivors only.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +61,16 @@ class ScoreConfig:
         # reference's max_length=512 tokenizer cap,
         # BiEncoder/model.py:46-47)
         max_name_chars: int = 100,
+        # lossless-cascade switch (off only for diagnostics: scores of
+        # pruned pairs are never needed — they cannot clear threshold)
+        cascade: bool = True,
+        # calibrated lossy prefilter on the cheap similarity
+        # (w_tok*s_tok + w_cos*s_cos)/(w_tok+w_cos): pairs below it
+        # (and without media) skip the expensive rerank. The bounded-
+        # candidates tradeoff of the reference's top-1000 truncation —
+        # pinned here, guarded by the F1 >= 0.99 gate in tests.
+        # None disables.
+        prefilter_min_cheap: float | None = 0.30,
     ):
         self.w_jw = w_jw
         self.w_lev = w_lev
@@ -57,6 +80,8 @@ class ScoreConfig:
         self.w_media = w_media
         self.threshold = threshold
         self.max_name_chars = max_name_chars
+        self.cascade = cascade
+        self.prefilter_min_cheap = prefilter_min_cheap
 
     def fingerprint(self) -> dict:
         return dict(vars(self))
@@ -72,19 +97,7 @@ def _make_udfs():
     def lev_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(levenshtein_ratio_batch(a.tolist(), b.tolist()))
 
-    @F.pandas_udf("double")
-    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.zeros(0))
-        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
-        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(
-            np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den))
-        )
-
-    return jw_udf, lev_ratio_udf, cosine_udf
+    return jw_udf, lev_ratio_udf
 
 
 def _features(doc_norm: DataFrame, side: str) -> DataFrame:
@@ -103,49 +116,80 @@ def _jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _dot(a, b):
+    """JVM-side dot product (codegen'd fold; no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def score_pairs(
     pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig
 ) -> DataFrame:
     """pairs(doc_a, doc_b) + doc_norm -> scored pairs with components.
 
     Returns (doc_a, doc_b, s_jw, s_lev, s_tok, s_cos, s_media, score).
+    With ``cfg.cascade`` (default) only pairs whose upper-bound score
+    can reach ``cfg.threshold`` are emitted — callers filtering at
+    ``threshold`` (``edges_above_threshold``) see identical results.
     """
-    jw_udf, lev_ratio_udf, cosine_udf = _make_udfs()
+    jw_udf, lev_ratio_udf = _make_udfs()
     joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
         _features(doc_norm, "b"), "doc_b"
     )
-    # JVM-side truncation: bounds the quadratic kernels AND the Arrow
-    # transfer size before anything reaches Python
-    joined = joined.withColumn(
-        "name_a", F.substring("name_a", 1, cfg.max_name_chars)
-    ).withColumn("name_b", F.substring("name_b", 1, cfg.max_name_chars))
-    # Explicit repartition before the Python stage: AQE coalesces the
-    # join output by *bytes* (fine for JVM ops), but pandas-UDF cost is
-    # per-row CPU — a byte-coalesced single partition would serialize
-    # the whole scoring pass onto one core.
+    # ---- cheap JVM components ------------------------------------------
+    has_media = (F.size("media_a") > 0) | (F.size("media_b") > 0)
+    # encoder vectors are unit-norm or zero => cosine == dot, and the
+    # zero-vector case degrades to 0.0 on its own
+    cheap = (
+        joined.withColumn("s_tok", _jaccard(F.col("tokens_a"), F.col("tokens_b")))
+        .withColumn("s_cos", _dot(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("s_media", _jaccard(F.col("media_a"), F.col("media_b")))
+        .withColumn("has_media", has_media)
+    )
+    if cfg.cascade:
+        cheap_text_max = (
+            cfg.w_jw + cfg.w_lev + cfg.w_tok * F.col("s_tok") + cfg.w_cos * F.col("s_cos")
+        )
+        upper = F.when(
+            F.col("has_media"),
+            cfg.w_text * cheap_text_max + cfg.w_media * F.col("s_media"),
+        ).otherwise(cheap_text_max)
+        cheap = cheap.where(upper >= cfg.threshold)
+        if cfg.prefilter_min_cheap is not None:
+            cheap_sim = (
+                cfg.w_tok * F.col("s_tok") + cfg.w_cos * F.col("s_cos")
+            ) / (cfg.w_tok + cfg.w_cos)
+            cheap = cheap.where(
+                (cheap_sim >= cfg.prefilter_min_cheap)
+                | (F.col("s_media") > 0)
+            )
+    # ---- expensive Python components on survivors only -----------------
+    # JVM-side truncation bounds the quadratic kernels AND the Arrow
+    # transfer; explicit repartition because AQE coalesces by bytes
+    # while pandas-UDF cost is per-row CPU
     spark = pairs.sparkSession
-    joined = joined.repartition(spark.sparkContext.defaultParallelism)
+    survivors = (
+        cheap.withColumn("name_a", F.substring("name_a", 1, cfg.max_name_chars))
+        .withColumn("name_b", F.substring("name_b", 1, cfg.max_name_chars))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("s_jw", jw_udf("name_a", "name_b"))
+        .withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
+    )
     text_score = (
         cfg.w_jw * F.col("s_jw")
         + cfg.w_lev * F.col("s_lev")
         + cfg.w_tok * F.col("s_tok")
         + cfg.w_cos * F.col("s_cos")
     )
-    has_media = (F.size("media_a") > 0) | (F.size("media_b") > 0)
-    scored = (
-        joined.withColumn("s_jw", jw_udf("name_a", "name_b"))
-        .withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
-        .withColumn("s_tok", _jaccard(F.col("tokens_a"), F.col("tokens_b")))
-        .withColumn("s_cos", cosine_udf("emb_a", "emb_b"))
-        .withColumn("s_media", _jaccard(F.col("media_a"), F.col("media_b")))
-        .withColumn("text_score", text_score)
-        .withColumn(
-            "score",
-            F.when(
-                has_media,
-                cfg.w_text * F.col("text_score") + cfg.w_media * F.col("s_media"),
-            ).otherwise(F.col("text_score")),
-        )
+    scored = survivors.withColumn("text_score", text_score).withColumn(
+        "score",
+        F.when(
+            F.col("has_media"),
+            cfg.w_text * F.col("text_score") + cfg.w_media * F.col("s_media"),
+        ).otherwise(F.col("text_score")),
     )
     return scored.select(
         "doc_a", "doc_b", "s_jw", "s_lev", "s_tok", "s_cos", "s_media", "score"

@@ -63,7 +63,9 @@ class TestScorePairs:
         )
         rows = {
             (r.doc_a, r.doc_b): r.score
-            for r in score_pairs(pairs, norm, ScoreConfig()).collect()
+            for r in score_pairs(
+                pairs, norm, ScoreConfig(cascade=False)
+            ).collect()
         }
         assert rows[("d1", "d2")] > 0.8 > rows[("d1", "d3")]
 
@@ -104,6 +106,35 @@ class TestScorePairs:
         edges = edges_above_threshold(score_pairs(pairs, norm, cfg), cfg)
         got = [(r.doc_a, r.doc_b) for r in edges.collect()]
         assert got == [("d1", "d2")]
+
+    def test_cascade_is_lossless_for_edges(self, spark):
+        """Cascade pruning must not change the thresholded edge set."""
+        texts = [
+            ("d1", "acme corp rockets", ["mA"]),
+            ("d2", "acme korp rockets", ["mA"]),
+            ("d3", "zebra penguin iceberg", []),
+            ("d4", "acme corp rockets", []),
+            ("d5", "completely other words", ["mB"]),
+            ("d6", "zebra penguim iceberg", []),
+        ]
+        norm = _norm(spark, texts)
+        ids = [t[0] for t in texts]
+        pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b],
+            "doc_a string, doc_b string",
+        )
+        on = score_pairs(pairs, norm, ScoreConfig(cascade=True))
+        off = score_pairs(pairs, norm, ScoreConfig(cascade=False))
+        cfg = ScoreConfig()
+        e_on = sorted(
+            map(tuple, edges_above_threshold(on, cfg).collect())
+        )
+        e_off = sorted(
+            map(tuple, edges_above_threshold(off, cfg).collect())
+        )
+        assert e_on == e_off and len(e_on) > 0
+        # and the cascade genuinely pruned something
+        assert on.count() < off.count()
 
     def test_score_plan_has_no_python_row_udf(self, spark):
         """Guardrail: scoring must stay Arrow-batched (BatchEvalPython
