@@ -938,6 +938,112 @@ FROM orders ORDER BY o_orderkey LIMIT 100
 """
 
 
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup via the bucketed scale path: sign-LSH
+    bucket equi-join (shuffle on bucket, not a cross join), exact
+    cosine rescoring inside buckets, near-dup pairs >= 0.9."""
+    emb = load(spark, sf, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.get("embedding", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ]
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    lhs = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+         ) AS bucket
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round({_sql_dot('x.embedding', 'y.embedding')}
+               / (sqrt({_sql_dot('x.embedding', 'x.embedding')})
+                  * sqrt({_sql_dot('y.embedding', 'y.embedding')})), 6) AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+) WHERE cosine >= 0.3
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup scoring on blocked pairs (the
+    n-gram member of the dedup family); exact small-int ratios."""
+    docs = load(spark, sf, "documents")
+    grams = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _trigrams_col().alias("g"),
+    )
+    pairs = q_trigram_blocking_pairs(spark, sf).where(
+        F.col("n_shared_keys") >= 2
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_shared_grams"),
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter / union)
+            .alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id::VARCHAR AS doc_id, {TRIGRAMS_SQL} AS grams
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+),
+pairs AS (SELECT doc_a, doc_b FROM ({SQL_TRIGRAM_PAIRS}) WHERE n_shared_keys >= 2)
+SELECT doc_a, doc_b,
+       len(list_intersect(ga.grams, gb.grams))::INT AS n_shared_grams,
+       CASE WHEN len(list_distinct(ga.grams || gb.grams)) = 0 THEN 0.0
+            ELSE len(list_intersect(ga.grams, gb.grams))
+                 / len(list_distinct(ga.grams || gb.grams)) END AS jaccard
+FROM pairs
+JOIN g ga ON ga.doc_id = pairs.doc_a
+JOIN g gb ON gb.doc_id = pairs.doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -969,4 +1075,6 @@ REGISTRY: dict = {
     "limit_sample": (q_limit_sample, SQL_LIMIT_SAMPLE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_buckets": (q_embedding_buckets, SQL_EMBEDDING_BUCKETS),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
 }
