@@ -49,6 +49,12 @@ class BlockConfig:
         lsh_bands: int = 16,
         hot_key_cap: int = 64,
         max_salts: int = 16,
+        # blocking-QUALITY bound, distinct from the skew bound: a key
+        # shared by more docs than this is stopword-grade — it would
+        # emit O(n^2) junk pairs that carry no match signal (recall is
+        # preserved by the other key families). The volume analogue of
+        # the reference's top-1000 candidate truncation.
+        max_key_docs: int = 256,
         minhash_seed: int = 42,
         use_token_keys: bool = True,
         use_lsh_keys: bool = True,
@@ -60,6 +66,7 @@ class BlockConfig:
         self.rows_per_band = lsh_hashes // lsh_bands
         self.hot_key_cap = hot_key_cap
         self.max_salts = max_salts
+        self.max_key_docs = max_key_docs
         self.minhash_seed = minhash_seed
         self.use_token_keys = use_token_keys
         self.use_lsh_keys = use_lsh_keys
@@ -93,6 +100,11 @@ def _lsh_keys_udf(cfg: BlockConfig):
 
 def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
     """(doc_id, key) — one row per document per blocking key."""
+    # the MinHash UDF is per-row CPU; parquet read splits of a compact
+    # doc_norm table under-parallelize it (observed: flat scaling from
+    # 8 to 32 cores) — spread rows explicitly before the Python stage
+    spark = doc_norm.sparkSession
+    doc_norm = doc_norm.repartition(spark.sparkContext.defaultParallelism)
     parts = []
     if cfg.use_token_keys:
         from chameleon_entity_linking_spark.functions.tokenize import tokens_col
@@ -140,7 +152,7 @@ def candidate_pairs(
     keys = blocking_keys(doc_norm, cfg)
     counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
     cap = cfg.hot_key_cap
-    ceiling = cap * cfg.max_salts
+    ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
     key_metrics = counts.withColumn(
         "class",
         F.when(F.col("n_docs") < 2, "singleton")

@@ -48,7 +48,9 @@ def _embed_udf():
     return embed
 
 
-def normalize(documents: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+def normalize(
+    documents: DataFrame, dim: int = DEFAULT_DIM, repartition: bool = True
+) -> DataFrame:
     """documents(doc_id, spans) -> doc_norm with match features.
 
     Output columns:
@@ -58,6 +60,12 @@ def normalize(documents: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
       media_refs  distinct sorted media_ref keys
       embedding   array<float> hashing-trick vector (L2-normalized)
     """
+    if repartition:
+        # a compact parquet input yields few read splits; the embed
+        # UDF cost is per-row CPU, so spread rows across all cores
+        # (one small shuffle buys full parallelism for the map stage)
+        spark = documents.sparkSession
+        documents = documents.repartition(spark.sparkContext.defaultParallelism)
     text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
     full_text = F.concat_ws(
         " ", F.transform(text_spans, lambda s: s["text"])

@@ -48,11 +48,11 @@ _CONSONANT = "bcdfghjklmnpqrstvwz"
 _VOWEL = "aeiou"
 
 
-def _vocab(seed: int) -> list[str]:
-    """Pronounceable pseudo-words; fixed for a given seed."""
+def _vocab(seed: int, size: int = _VOCAB_SIZE) -> list[str]:
+    """Pronounceable pseudo-words; fixed for a given (seed, size)."""
     rng = np.random.RandomState(seed ^ 0x5EED)
     words = []
-    for _ in range(_VOCAB_SIZE):
+    for _ in range(size):
         n = rng.randint(2, 5)
         w = "".join(
             _CONSONANT[rng.randint(len(_CONSONANT))] + _VOWEL[rng.randint(len(_VOWEL))]
@@ -104,6 +104,14 @@ class SynthConfig:
     @property
     def n_families(self) -> int:
         return (self.n_entities + self.family_size - 1) // self.family_size
+
+    @property
+    def vocab_size(self) -> int:
+        """Vocabulary grows with corpus size (a fixed tiny vocabulary
+        makes every token stopword-grade at scale — unrealistic and it
+        degenerates token blocking). ~1 word per 2 entities above the
+        4k floor."""
+        return max(_VOCAB_SIZE, self.n_entities // 2)
 
 
 def _family_rng(cfg: SynthConfig, family_id: int, salt: str) -> np.random.RandomState:
@@ -191,7 +199,7 @@ def _gen_family(cfg: SynthConfig, vocab: list[str], family_id: int):
 
 
 def _part_iterator(cfg: SynthConfig, which: str):
-    vocab = _vocab(cfg.seed)
+    vocab = _vocab(cfg.seed, cfg.vocab_size)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
