@@ -149,8 +149,11 @@ def candidate_pairs(
 
     Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
     """
-    keys = blocking_keys(doc_norm, cfg)
-    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
+    # keys are consumed by three downstream plans (counts/metrics,
+    # normal self-join, salted triangle join) — persist so the MinHash
+    # UDF pass runs once, not once per consumer
+    keys = blocking_keys(doc_norm, cfg).persist()
+    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
     cap = cfg.hot_key_cap
     ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
     key_metrics = counts.withColumn(

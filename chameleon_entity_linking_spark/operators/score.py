@@ -153,7 +153,10 @@ def score_pairs(
         cheap_text_max = (
             cfg.w_jw + cfg.w_lev + cfg.w_tok * F.col("s_tok") + cfg.w_cos * F.col("s_cos")
         )
+        no_text = (F.size("tokens_a") == 0) & (F.size("tokens_b") == 0)
         upper = F.when(
+            no_text & F.col("has_media"), F.col("s_media")
+        ).when(
             F.col("has_media"),
             cfg.w_text * cheap_text_max + cfg.w_media * F.col("s_media"),
         ).otherwise(cheap_text_max)
@@ -184,12 +187,18 @@ def score_pairs(
         + cfg.w_tok * F.col("s_tok")
         + cfg.w_cos * F.col("s_cos")
     )
+    no_text = (F.size("tokens_a") == 0) & (F.size("tokens_b") == 0)
     scored = survivors.withColumn("text_score", text_score).withColumn(
         "score",
-        F.when(
+        # media-only pairs (no text on either side) are judged purely
+        # on media overlap — otherwise the empty text components would
+        # drown an exact media match below any threshold
+        F.when(no_text & F.col("has_media"), F.col("s_media"))
+        .when(
             F.col("has_media"),
             cfg.w_text * F.col("text_score") + cfg.w_media * F.col("s_media"),
-        ).otherwise(F.col("text_score")),
+        )
+        .otherwise(F.col("text_score")),
     )
     return scored.select(
         "doc_a", "doc_b", "s_jw", "s_lev", "s_tok", "s_cos", "s_media", "score"

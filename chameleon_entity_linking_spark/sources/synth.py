@@ -21,8 +21,10 @@ Structure:
   ``media_ref`` stays EXACT across mentions — the exact-match key
   analogue of the reference's entity `title`), perturbed per mention
   by char typos, token drops and swaps.
-- ``hot_fraction`` of documents get a shared token ("thecorp") to
-  create one pathological blocking key (exercises skew salting).
+- ``hot_fraction`` of documents get a shared hot token ("thecorpN");
+  the number of hot tokens scales so each hot blocking key holds
+  ~150 docs — inside the salted range (exercises skew salting at
+  every scale rather than being dropped as stopword-grade).
 - ``offset`` is the span's position; (kind, text, media_ref, order)
   is the per-row invariant every stage must preserve (input_hint).
 """
@@ -106,6 +108,13 @@ class SynthConfig:
         return (self.n_entities + self.family_size - 1) // self.family_size
 
     @property
+    def n_hot_keys(self) -> int:
+        """Enough hot tokens that each hot key holds ~150 docs
+        (above hot_key_cap=64 -> salted, below max_key_docs=256)."""
+        approx_docs = self.n_entities * 3.5
+        return max(1, int(approx_docs * self.hot_fraction / 150))
+
+    @property
     def vocab_size(self) -> int:
         """Vocabulary grows with corpus size (a fixed tiny vocabulary
         makes every token stopword-grade at scale — unrealistic and it
@@ -174,7 +183,13 @@ def _gen_family(cfg: SynthConfig, vocab: list[str], family_id: int):
                 kind = "image" if ref[-1] not in "012" else "video"
                 spans.append((kind, "", ref))
             if rng.random_sample() < cfg.hot_fraction:
-                spans.insert(1, ("text", "thecorp " + vocab[rng.randint(nv)], ""))
+                # hot token goes INTO the name span (token blocking
+                # keys come from there) as a suffix, so the hot key
+                # actually reaches the salted-join path; suffix
+                # position keeps the Jaro-Winkler prefix intact
+                hot = rng.randint(cfg.n_hot_keys)
+                kind0, text0, media0 = spans[0]
+                spans[0] = (kind0, f"{text0} thecorp{hot}", media0)
             docs.append(
                 (doc_id, [(k, t, m, off) for off, (k, t, m) in enumerate(spans)])
             )

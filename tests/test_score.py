@@ -107,6 +107,27 @@ class TestScorePairs:
         got = [(r.doc_a, r.doc_b) for r in edges.collect()]
         assert got == [("d1", "d2")]
 
+    def test_media_only_docs_match_on_media(self, spark):
+        """Two docs with no text but identical media must score as a
+        match (pure media similarity), and survive the cascade even at
+        a high threshold."""
+        data = [
+            ("m1", [{"kind": "image", "text": "", "media_ref": "mX", "offset": 0}]),
+            ("m2", [{"kind": "image", "text": "", "media_ref": "mX", "offset": 0}]),
+        ]
+        from chameleon_entity_linking_spark.operators.normalize import normalize as _n
+
+        norm = _n(
+            spark.createDataFrame(
+                data,
+                "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            )
+        )
+        pairs = spark.createDataFrame([("m1", "m2")], "doc_a string, doc_b string")
+        cfg = ScoreConfig(threshold=0.9)
+        rows = score_pairs(pairs, norm, cfg).collect()
+        assert len(rows) == 1 and rows[0].score == pytest.approx(1.0)
+
     def test_cascade_is_lossless_for_edges(self, spark):
         """Cascade pruning must not change the thresholded edge set."""
         texts = [
