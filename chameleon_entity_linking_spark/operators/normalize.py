@@ -35,6 +35,7 @@ NORM_COLUMNS = [
     "tokens",
     "media_refs",
     "embedding",
+    "emb_q",
 ]
 
 
@@ -59,6 +60,9 @@ def normalize(
       tokens      distinct sorted tokens over all text spans
       media_refs  distinct sorted media_ref keys
       embedding   array<float> hashing-trick vector (L2-normalized)
+      emb_q       array<tinyint> int8 quantization of ``embedding`` —
+                  the compact sketch the scoring prefilter shuffles
+                  instead of the full feature row (64B vs ~1KB/side)
     """
     if repartition:
         # a compact parquet input yields few read splits; the embed
@@ -74,7 +78,7 @@ def normalize(
     name_text = F.trim(
         F.lower(F.coalesce(F.get(text_spans, 0)["text"], F.lit("")))
     )
-    return documents.select(
+    base = documents.select(
         "doc_id",
         "spans",
         name_text.alias("name_text"),
@@ -87,4 +91,16 @@ def normalize(
                 )
             )
         ).alias("media_refs"),
-    ).withColumn("embedding", _embed_udf()(F.col("tokens")))
+    )
+    return (
+        base.withColumn("embedding", _embed_udf()(F.col("tokens")))
+        # int8 quantization: unit-norm components in [-1,1] -> [-127,127];
+        # max cosine estimation error ~2/127 (used with a safety margin)
+        .withColumn(
+            "emb_q",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * 127).cast("byte"),
+            ),
+        )
+    )

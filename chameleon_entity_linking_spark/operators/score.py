@@ -9,25 +9,29 @@ name span, token Jaccard, and embedding cosine, and the entity score
 is exact media_ref Jaccard (the entity-title analogue).
 
 **Cascade (the scale-critical part).** Multi-key blocking at high
-fan-out emits ~100+ candidates/doc, most junk. The cheap components
-(token Jaccard, media Jaccard, embedding dot) are JVM-expressible —
-whole-stage-codegen, no Python. Since every component is <= 1, the
-best possible final score given only the cheap components is
+fan-out emits ~100 candidates/doc, ~98% junk. Scoring is therefore a
+three-phase cascade, each phase shuffling less data than it rules out:
 
-    upper = w_text * (w_jw + w_lev + w_tok*s_tok + w_cos*s_cos)
-            [+ w_media*s_media when media present]
+1. **Sketch prefilter (compact shuffle).** The pairs table joins only
+   the int8-quantized embedding sketch ``emb_q`` (64B) + media_refs
+   per side — NOT the full feature row. Estimated cosine (int8 dot,
+   error <= ~0.02 for unit vectors) below
+   ``prefilter_min_cheap - margin``, with no media on either side,
+   cannot survive the later phases -> dropped. Measured effect: the
+   wide-feature shuffle shrinks from ~30GB to ~2GB at 18M pairs.
+2. **Exact cheap components (JVM, survivors only).** Full features
+   join the (small) survivor set; token/media Jaccard + exact float
+   dot (cosine: encoder vectors are unit-norm or zero) re-check the
+   prefilter exactly and apply the *lossless* upper bound
+   ``upper = w_text*(w_jw + w_lev + w_tok*s_tok + w_cos*s_cos)
+   [+ w_media*s_media]`` — a pair with ``upper < threshold`` cannot
+   clear the final threshold whatever JW/Levenshtein say.
+3. **Arrow rerank (Python, final survivors).** Batched
+   JW/Levenshtein on name spans, weighted mix, threshold.
 
-Pairs with ``upper < threshold`` CANNOT pass — they are pruned before
-the Python boundary. This is exact (zero recall loss), and it is the
-same retrieve-then-rerank shape as the reference: cheap recall stage,
-expensive rerank on survivors.
-
-Embedding cosine == dot product here because the encoder emits
-unit-norm (or zero) vectors — asserted in normalize's contract.
-
-Physical shape: two hash joins on doc_id, JVM filter, explicit
-repartition (AQE coalesces by bytes; pandas-UDF cost is per-row CPU),
-then Arrow-batched JW/Levenshtein on survivors only.
+Same retrieve-then-rerank shape as the reference
+(`BiEncoder/test_retrieval.py` recall stage -> `BiEncoder/test.py`
+rerank), with each hop bounded by the previous one.
 """
 
 from __future__ import annotations
@@ -64,12 +68,12 @@ class ScoreConfig:
         # lossless-cascade switch (off only for diagnostics: scores of
         # pruned pairs are never needed — they cannot clear threshold)
         cascade: bool = True,
-        # calibrated lossy prefilter on the cheap similarity
-        # (w_tok*s_tok + w_cos*s_cos)/(w_tok+w_cos): pairs below it
-        # (and without media) skip the expensive rerank. The bounded-
-        # candidates tradeoff of the reference's top-1000 truncation —
-        # pinned here, guarded by the F1 >= 0.99 gate in tests.
-        # None disables.
+        # calibrated lossy prefilter on embedding cosine: pairs below
+        # it (and without media on either side) skip the expensive
+        # rerank. Cosine-based so the int8 sketch phase can bound it
+        # with a fixed quantization margin. The bounded-candidates
+        # tradeoff of the reference's top-1000 truncation — pinned
+        # here, guarded by the F1 >= 0.99 gate in tests. None disables.
         prefilter_min_cheap: float | None = 0.30,
     ):
         self.w_jw = w_jw
@@ -125,6 +129,48 @@ def _dot(a, b):
     )
 
 
+def _sketch(doc_norm: DataFrame, side: str) -> DataFrame:
+    return doc_norm.select(
+        F.col("doc_id").alias(f"doc_{side}"),
+        F.col("emb_q").alias(f"q_{side}"),
+        # text-free media doc: the only case where a pair can match
+        # with no lexical signal at all (judged purely on media)
+        ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
+            f"mediaonly_{side}"
+        ),
+    )
+
+
+def sketch_prefilter(
+    pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig, margin: float = 0.08
+) -> DataFrame:
+    """Phase 1: drop pairs whose int8-estimated cosine proves they
+    cannot pass the exact prefilter (no media on either side and
+    est_cos below ``prefilter_min_cheap - margin``). Returns a
+    filtered (doc_a, doc_b) set — a superset of exact survivors."""
+    if cfg.prefilter_min_cheap is None or not cfg.cascade:
+        return pairs
+    joined = pairs.join(_sketch(doc_norm, "a"), "doc_a").join(
+        _sketch(doc_norm, "b"), "doc_b"
+    )
+    est_cos = F.aggregate(
+        F.zip_with(
+            "q_a", "q_b", lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(127.0 * 127.0)
+    # media *presence* is no pass — ~all docs can carry media; only a
+    # text-free media doc is exempt from the lexical cut (its match
+    # signal is media overlap alone)
+    keep = (
+        F.col("mediaonly_a")
+        | F.col("mediaonly_b")
+        | (est_cos >= F.lit(cfg.prefilter_min_cheap - margin))
+    )
+    return joined.where(keep).select("doc_a", "doc_b")
+
+
 def score_pairs(
     pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig
 ) -> DataFrame:
@@ -136,6 +182,7 @@ def score_pairs(
     ``threshold`` (``edges_above_threshold``) see identical results.
     """
     jw_udf, lev_ratio_udf = _make_udfs()
+    pairs = sketch_prefilter(pairs, doc_norm, cfg)
     joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
         _features(doc_norm, "b"), "doc_b"
     )
@@ -162,12 +209,11 @@ def score_pairs(
         ).otherwise(cheap_text_max)
         cheap = cheap.where(upper >= cfg.threshold)
         if cfg.prefilter_min_cheap is not None:
-            cheap_sim = (
-                cfg.w_tok * F.col("s_tok") + cfg.w_cos * F.col("s_cos")
-            ) / (cfg.w_tok + cfg.w_cos)
+            mediaonly = ((F.size("media_a") > 0) & (F.size("tokens_a") == 0)) | (
+                (F.size("media_b") > 0) & (F.size("tokens_b") == 0)
+            )
             cheap = cheap.where(
-                (cheap_sim >= cfg.prefilter_min_cheap)
-                | (F.col("s_media") > 0)
+                (F.col("s_cos") >= cfg.prefilter_min_cheap) | mediaonly
             )
     # ---- expensive Python components on survivors only -----------------
     # JVM-side truncation bounds the quadratic kernels AND the Arrow

@@ -120,7 +120,9 @@ class Pipeline:
         docs = self.ingest()
         in_snap = self.catalog.current_snapshot("documents").snapshot_id
 
-        norm_fp = _fp({"normalize": 1, "in": in_snap})
+        # bump the version term whenever normalize's output schema or
+        # semantics change — stale checkpoints must not resume-skip
+        norm_fp = _fp({"normalize": 2, "in": in_snap})
         doc_norm = self._run_stage(
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )
