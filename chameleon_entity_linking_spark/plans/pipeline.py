@@ -127,10 +127,23 @@ class Pipeline:
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )
 
-        block_fp = _fp({"block": self.block_cfg.fingerprint(), "in": norm_fp})
+        block_fp = _fp(
+            {
+                "block": self.block_cfg.fingerprint(),
+                # the sketch prefilter is fused into pair generation,
+                # so its parameters are part of the block fingerprint
+                "sketch": {
+                    "cascade": self.score_cfg.cascade,
+                    "cut": self.score_cfg.prefilter_min_cheap,
+                },
+                "in": norm_fp,
+            }
+        )
 
         def build_pairs():
-            pairs, key_metrics = candidate_pairs(doc_norm, self.block_cfg)
+            pairs, key_metrics = candidate_pairs(
+                doc_norm, self.block_cfg, self.score_cfg
+            )
             self.catalog.write(
                 "block_key_metrics",
                 key_metrics.groupBy("class").agg(
@@ -148,7 +161,9 @@ class Pipeline:
             "score",
             "scores",
             score_fp,
-            lambda: score_pairs(pairs, doc_norm, self.score_cfg),
+            lambda: score_pairs(
+                pairs, doc_norm, self.score_cfg, presketched=True
+            ),
         )
         edges = self._run_stage(
             "edges",
