@@ -58,9 +58,9 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # true duplicate mentions ~0.99.
     cfg = BlockConfig(use_token_keys=False, hot_key_cap=128)
     score_cfg = ScoreConfig(threshold=0.905)
-    pairs, _ = candidate_pairs(doc_norm, cfg, score_cfg)
+    pairs, _ = candidate_pairs(doc_norm, cfg)
     edges = edges_above_threshold(
-        score_pairs(pairs, doc_norm, score_cfg, presketched=True), score_cfg
+        score_pairs(pairs, doc_norm, score_cfg), score_cfg
     )
     assignments = assign_clusters(docs, connected_components(edges))
     sizes = assignments.groupBy("cluster_id").agg(

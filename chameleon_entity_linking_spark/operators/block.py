@@ -98,13 +98,26 @@ def _lsh_keys_udf(cfg: BlockConfig):
     return lsh_keys
 
 
-def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
-    """(doc_id, key) — one row per document per blocking key."""
+def blocking_keys(
+    doc_norm: DataFrame, cfg: BlockConfig, carry_sketch: bool = False
+) -> DataFrame:
+    """(doc_id, key[, q, monly]) — one row per document per blocking key.
+
+    With ``carry_sketch`` the int8 embedding sketch + text-free-media
+    flag ride along from doc_norm through the explode — no later join
+    is needed to attach them for the fused pair prefilter.
+    """
     # the MinHash UDF is per-row CPU; parquet read splits of a compact
     # doc_norm table under-parallelize it (observed: flat scaling from
     # 8 to 32 cores) — spread rows explicitly before the Python stage
     spark = doc_norm.sparkSession
     doc_norm = doc_norm.repartition(spark.sparkContext.defaultParallelism)
+    extra = []
+    if carry_sketch:
+        doc_norm = doc_norm.withColumn(
+            "monly", (F.size("media_refs") > 0) & (F.size("tokens") == 0)
+        ).withColumnRenamed("emb_q", "q")
+        extra = ["q", "monly"]
     parts = []
     if cfg.use_token_keys:
         from chameleon_entity_linking_spark.functions.tokenize import tokens_col
@@ -116,6 +129,7 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
                 F.explode(
                     F.transform(name_tokens, lambda t: F.concat(F.lit("t:"), t))
                 ).alias("key"),
+                *extra,
             )
         )
     if cfg.use_lsh_keys:
@@ -123,6 +137,7 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
             doc_norm.select(
                 "doc_id",
                 F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
+                *extra,
             )
         )
     if cfg.use_media_keys:
@@ -134,6 +149,7 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
                         F.col("media_refs"), lambda m: F.concat(F.lit("m:"), m)
                     )
                 ).alias("key"),
+                *extra,
             )
         )
     keys = parts[0]
@@ -159,10 +175,15 @@ def candidate_pairs(
     the pairs table by the same fraction. Works at any scale (the
     sketch travels with the rows; nothing is broadcast).
     """
+    fuse_sketch = (
+        score_cfg is not None
+        and getattr(score_cfg, "cascade", False)
+        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
+    )
     # keys are consumed by three downstream plans (counts/metrics,
     # normal self-join, salted triangle join) — persist so the MinHash
     # UDF pass runs once, not once per consumer
-    keys = blocking_keys(doc_norm, cfg).persist()
+    keys = blocking_keys(doc_norm, cfg, carry_sketch=fuse_sketch).persist()
     counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
     cap = cfg.hot_key_cap
     ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
@@ -179,29 +200,15 @@ def candidate_pairs(
         counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
         "key",
     )
-    fuse_sketch = (
-        score_cfg is not None
-        and getattr(score_cfg, "cascade", False)
-        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
-    )
-    if fuse_sketch:
-        sketch = doc_norm.select(
-            "doc_id",
-            F.col("emb_q").alias("q"),
-            ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
-                "monly"
-            ),
-        )
-        keyed = keyed.join(sketch, "doc_id")
-
     def _pair_keep(qa, qb, ma, mb):
         est_cos = F.aggregate(
             F.zip_with(qa, qb, lambda x, y: x.cast("int") * y.cast("int")),
             F.lit(0),
             lambda acc, x: acc + x,
         ) / F.lit(127.0 * 127.0)
-        cut = score_cfg.prefilter_min_cheap - 0.08  # quantization margin
-        return ma | mb | (est_cos >= F.lit(cut))
+        # scoring uses the same int8 dot -> this cut is bit-exact with
+        # the prefilter the scoring stage re-applies
+        return ma | mb | (est_cos >= F.lit(score_cfg.prefilter_min_cheap))
 
     side_cols = ["key", "doc_id"] + (["q", "monly"] if fuse_sketch else [])
     normal = keyed.where(F.col("n_docs") <= cap).select(*side_cols)

@@ -105,12 +105,16 @@ def _make_udfs():
 
 
 def _features(doc_norm: DataFrame, side: str) -> DataFrame:
+    # emb_q (64B int8), not the float embedding: cosine is computed in
+    # int8 throughout scoring (error <= ~0.02; the pinned threshold is
+    # calibrated with it, F1-gate-guarded) so the widest feature never
+    # joins the pair stream
     return doc_norm.select(
         F.col("doc_id").alias(f"doc_{side}"),
         F.col("name_text").alias(f"name_{side}"),
         F.col("tokens").alias(f"tokens_{side}"),
         F.col("media_refs").alias(f"media_{side}"),
-        F.col("embedding").alias(f"emb_{side}"),
+        F.col("emb_q").alias(f"q_{side}"),
     )
 
 
@@ -120,13 +124,14 @@ def _jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def _dot(a, b):
-    """JVM-side dot product (codegen'd fold; no Python)."""
+def _dot_q(a, b):
+    """JVM-side int8 dot -> cosine estimate in [-1, 1] for unit-norm
+    (or zero) source vectors."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
+        F.zip_with(a, b, lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0),
         lambda acc, x: acc + x,
-    )
+    ) / F.lit(127.0 * 127.0)
 
 
 def _sketch(doc_norm: DataFrame, side: str) -> DataFrame:
@@ -142,31 +147,23 @@ def _sketch(doc_norm: DataFrame, side: str) -> DataFrame:
 
 
 def sketch_prefilter(
-    pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig, margin: float = 0.08
+    pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig
 ) -> DataFrame:
-    """Phase 1: drop pairs whose int8-estimated cosine proves they
-    cannot pass the exact prefilter (no media on either side and
-    est_cos below ``prefilter_min_cheap - margin``). Returns a
-    filtered (doc_a, doc_b) set — a superset of exact survivors."""
+    """Phase 1: drop pairs below the cosine prefilter. Scoring uses the
+    same int8 dot, so this phase is *bit-exact* with the prefilter the
+    exact phase re-applies — no margin, no approximation gap."""
     if cfg.prefilter_min_cheap is None or not cfg.cascade:
         return pairs
     joined = pairs.join(_sketch(doc_norm, "a"), "doc_a").join(
         _sketch(doc_norm, "b"), "doc_b"
     )
-    est_cos = F.aggregate(
-        F.zip_with(
-            "q_a", "q_b", lambda x, y: x.cast("int") * y.cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(127.0 * 127.0)
     # media *presence* is no pass — ~all docs can carry media; only a
     # text-free media doc is exempt from the lexical cut (its match
     # signal is media overlap alone)
     keep = (
         F.col("mediaonly_a")
         | F.col("mediaonly_b")
-        | (est_cos >= F.lit(cfg.prefilter_min_cheap - margin))
+        | (_dot_q(F.col("q_a"), F.col("q_b")) >= F.lit(cfg.prefilter_min_cheap))
     )
     return joined.where(keep).select("doc_a", "doc_b")
 
@@ -194,7 +191,7 @@ def score_pairs(
     # zero-vector case degrades to 0.0 on its own
     cheap = (
         joined.withColumn("s_tok", _jaccard(F.col("tokens_a"), F.col("tokens_b")))
-        .withColumn("s_cos", _dot(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("s_cos", _dot_q(F.col("q_a"), F.col("q_b")))
         .withColumn("s_media", _jaccard(F.col("media_a"), F.col("media_b")))
         .withColumn("has_media", has_media)
     )

@@ -130,20 +130,13 @@ class Pipeline:
         block_fp = _fp(
             {
                 "block": self.block_cfg.fingerprint(),
-                # the sketch prefilter is fused into pair generation,
-                # so its parameters are part of the block fingerprint
-                "sketch": {
-                    "cascade": self.score_cfg.cascade,
-                    "cut": self.score_cfg.prefilter_min_cheap,
-                },
+
                 "in": norm_fp,
             }
         )
 
         def build_pairs():
-            pairs, key_metrics = candidate_pairs(
-                doc_norm, self.block_cfg, self.score_cfg
-            )
+            pairs, key_metrics = candidate_pairs(doc_norm, self.block_cfg)
             self.catalog.write(
                 "block_key_metrics",
                 key_metrics.groupBy("class").agg(
@@ -161,9 +154,7 @@ class Pipeline:
             "score",
             "scores",
             score_fp,
-            lambda: score_pairs(
-                pairs, doc_norm, self.score_cfg, presketched=True
-            ),
+            lambda: score_pairs(pairs, doc_norm, self.score_cfg),
         )
         edges = self._run_stage(
             "edges",

@@ -55,17 +55,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
-    # Shuffle/spill scratch: a single spinning/virtual disk serializes
-    # every exchange (measured: block-stage dedup+write flat from 8 to
-    # 32 cores). Use tmpfs when present — the local-mode analogue of
-    # NVMe-backed shuffle dirs on a real cluster. Durable outputs
-    # (catalog warehouses, checkpoints) stay on real disk.
-    if os.path.isdir("/dev/shm") and os.environ.get(
-        "SPARK_GRAFT_SHM_SHUFFLE", "1"
-    ) != "0":
-        shm = os.path.join("/dev/shm", "cel_spark_local")
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

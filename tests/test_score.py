@@ -45,9 +45,9 @@ class TestScorePairs:
         assert row.s_jw == pytest.approx(1.0)
         assert row.s_lev == pytest.approx(1.0)
         assert row.s_tok == pytest.approx(1.0)
-        assert row.s_cos == pytest.approx(1.0, abs=1e-6)
+        assert row.s_cos == pytest.approx(1.0, abs=0.02)  # int8 cosine
         assert row.s_media == pytest.approx(1.0)
-        assert row.score == pytest.approx(1.0, abs=1e-6)
+        assert row.score == pytest.approx(1.0, abs=0.02)
 
     def test_typo_pair_beats_unrelated_pair(self, spark):
         norm = _norm(
@@ -80,8 +80,8 @@ class TestScorePairs:
             [("d1", "d2")], "doc_a string, doc_b string"
         )
         row = score_pairs(pairs, norm, ScoreConfig()).collect()[0]
-        # text components all 1.0, media jaccard 0 -> score = 0.9
-        assert row.score == pytest.approx(0.9, abs=1e-6)
+        # text components ~1.0 (int8 cosine), media jaccard 0 -> ~0.9
+        assert row.score == pytest.approx(0.9, abs=0.02)
 
     def test_no_media_uses_pure_text_score(self, spark):
         norm = _norm(
@@ -91,7 +91,7 @@ class TestScorePairs:
             [("d1", "d2")], "doc_a string, doc_b string"
         )
         row = score_pairs(pairs, norm, ScoreConfig()).collect()[0]
-        assert row.score == pytest.approx(1.0, abs=1e-6)
+        assert row.score == pytest.approx(1.0, abs=0.02)
 
     def test_threshold_filter(self, spark):
         norm = _norm(
