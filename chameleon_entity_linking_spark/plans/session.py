@@ -31,17 +31,33 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
+    executor_cores: int = 8,
+    executor_mem: str = "12g",
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
 
     ``cores`` controls ``local[N]`` parallelism; shuffle partitions
     default to ``max(cores, 8)`` so tiny inputs are not over-split and
     AQE can coalesce further at runtime.
+
+    ``executors`` switches to ``local-cluster[E, executor_cores,
+    mem]`` — E *separate executor JVMs* on this host (Spark's built-in
+    multi-executor test mode). This is the faithful in-sandbox stand-in
+    for an N- vs 4N-executor fleet: per-executor heaps/GC and a real
+    inter-executor shuffle path, unlike ``local[N]``'s one shared JVM.
     """
-    cores = cores or DEFAULT_CPUS
+    if executors is not None:
+        cores = executors * executor_cores
+        mem_mb = int(str(executor_mem).rstrip("g")) * 1024
+        master = f"local-cluster[{executors},{executor_cores},{mem_mb}]"
+    else:
+        cores = cores or DEFAULT_CPUS
+        master = f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
+        .config("spark.executor.memory", executor_mem)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -59,12 +75,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if executors is not None:
+        # multi-executor mode: executor Python workers have their own
+        # sys.path — ship the package the same way spark-submit
+        # --py-files would
+        spark.sparkContext.addPyFile(_package_zip())
     ckpt = os.environ.get(
         "SPARK_GRAFT_CHECKPOINT_DIR",
         os.path.join(tempfile.gettempdir(), "cel_spark_checkpoints"),
     )
     spark.sparkContext.setCheckpointDir(ckpt)
     return spark
+
+
+def _package_zip() -> str:
+    """Zip the package for --py-files-style distribution."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(tempfile.gettempdir(), "cel_spark_pkg.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(
+                        full, os.path.dirname(pkg_dir)
+                    )
+                    z.write(full, rel)
+    return out
 
 
 def stop_spark() -> None:
