@@ -3,8 +3,9 @@
 Training-data-pipeline utilities over a document corpus (first-class
 operators alongside the ER pipeline). All deterministic, all designed
 to run inside Arrow-batched pandas UDFs or as pure Spark SQL
-expressions (the SQL-expressible ones live in
-``operators/textanalysis.py``; kernels here back the UDF variants).
+expressions (the SQL-expressible operator variants live in
+``plans/driver_queries.py`` — q_lang_id, q_quality_score, q_simhash,
+q_fingerprint; kernels here back the UDF variants and tests).
 """
 
 from __future__ import annotations
@@ -41,8 +42,11 @@ def lang_scores(tokens: list[str]) -> dict[str, float]:
 
 
 def detect_lang(tokens: list[str], min_ratio: float = 0.05) -> str:
+    # ties break toward the alphabetically-FIRST language — the same
+    # tie-break q_lang_id and its DuckDB oracle use, so the Python
+    # kernel and the SQL operator agree on tied inputs
     scores = lang_scores(tokens)
-    lang, best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+    lang, best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return lang if best >= min_ratio else "und"
 
 

@@ -4,7 +4,7 @@ The analogue of the reference's candidate generation — BM25 run files
 (`BiEncoder/test.py:63-79`) and FAISS top-k retrieval
 (`BiEncoder/test_retrieval.py:51-76`). A global ANN index cannot
 exist at 10^12 docs, so candidate generation becomes a
-hash-partitioned self-join over three key families:
+hash-partitioned pair expansion over three key families:
 
   t:<token>      tokens of the *name* span (entity-name terms — the
                  BM25-term analogue)
@@ -13,17 +13,30 @@ hash-partitioned self-join over three key families:
   m:<media_ref>  exact media content hashes (the exact entity-title
                  key analogue, `BiEncoder/model.py:404`)
 
+Physical shape (grouped expansion, not a self-join): a cheap
+map-side-combined count pass classifies keys; surviving keys are
+grouped into one bounded member array per key (filter-before-collect:
+nothing ever buffers more than the ceiling) and intra-key pairs are
+expanded JVM-side with posexplode+slice, streaming out of the
+generator. A self-join would re-shuffle the key table against itself
+and probe 2x the rows; grouped expansion pays one wide exchange
+(reused by the join and the groupBy — same key partitioning).
+(Round-1 measurement: the self-join formulation showed ~zero speedup
+from 1 to 4 executors; this is its replacement.)
+
 Skew discipline (north rule: explicit partitioning + skew splitting):
-  * keys with one member generate no pairs -> dropped before the join
-  * keys with <= ``hot_key_cap`` members self-join directly
-  * hotter keys are *salted*: members get a deterministic salt group
-    g in [0, s), s = ceil(n/cap), and the classic triangle-join
-    replication — a member is LEFT in bucket-pairs (g, j>=g) and
-    RIGHT in (i<=g, g) — generates every intra-key pair exactly once
-    across buckets, each bucket bounded ~cap members per side
-  * keys hotter than ``cap * max_salts`` are dropped and counted in
-    metrics (stopword-grade keys; the reference's analogous bound is
-    its top-1000 candidate truncation)
+  * keys with one member generate no pairs -> dropped before expansion
+  * keys with <= ``hot_key_cap`` members expand directly from the
+    grouped row (<= C(cap,2) pairs per row — bounded task work)
+  * hotter keys are re-exploded and *salted*: members get a
+    deterministic salt group g in [0, s), s = ceil(n/cap), and the
+    classic triangle-join replication — a member is LEFT in
+    bucket-pairs (g, j>=g) and RIGHT in (i<=g, g) — generates every
+    intra-key pair exactly once across buckets, each bucket bounded
+    ~cap members per side, so no single task owns a hot key's O(n^2)
+  * keys hotter than ``min(cap * max_salts, max_key_docs)`` are
+    dropped and counted in metrics (stopword-grade keys; the
+    reference's analogous bound is its top-1000 candidate truncation)
 
 Every emitted pair is canonicalized doc_a < doc_b and deduplicated
 across key families (SURVEY.md J8).
@@ -59,6 +72,12 @@ class BlockConfig:
         use_token_keys: bool = True,
         use_lsh_keys: bool = True,
         use_media_keys: bool = True,
+        # diagnostics: keep the human-readable key strings through the
+        # shuffle + in key_metrics (default hashes them to 64-bit ints
+        # for shuffle compactness; a 64-bit collision, P ~ 1e-7 at
+        # millions of keys, just adds one junk candidate pair that
+        # scoring rejects)
+        debug_keys: bool = False,
     ):
         assert lsh_hashes % lsh_bands == 0
         self.lsh_hashes = lsh_hashes
@@ -71,6 +90,7 @@ class BlockConfig:
         self.use_token_keys = use_token_keys
         self.use_lsh_keys = use_lsh_keys
         self.use_media_keys = use_media_keys
+        self.debug_keys = debug_keys
 
     def fingerprint(self) -> dict:
         return dict(vars(self))
@@ -98,26 +118,23 @@ def _lsh_keys_udf(cfg: BlockConfig):
     return lsh_keys
 
 
-def blocking_keys(
-    doc_norm: DataFrame, cfg: BlockConfig, carry_sketch: bool = False
-) -> DataFrame:
-    """(doc_id, key[, q, monly]) — one row per document per blocking key.
+def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
+    """(doc_id, key) — one row per document per blocking key.
 
-    With ``carry_sketch`` the int8 embedding sketch + text-free-media
-    flag ride along from doc_norm through the explode — no later join
-    is needed to attach them for the fused pair prefilter.
+    May emit a (doc_id, key) pair more than once (media_ref repeats,
+    per-family overlaps); consumers dedup via ``collect_set`` in the
+    grouped expansion, so no dedicated dedup shuffle is spent here.
     """
+    if not (cfg.use_token_keys or cfg.use_lsh_keys or cfg.use_media_keys):
+        raise ValueError(
+            "BlockConfig: at least one key family must be enabled "
+            "(use_token_keys / use_lsh_keys / use_media_keys)"
+        )
     # the MinHash UDF is per-row CPU; parquet read splits of a compact
     # doc_norm table under-parallelize it (observed: flat scaling from
     # 8 to 32 cores) — spread rows explicitly before the Python stage
     spark = doc_norm.sparkSession
     doc_norm = doc_norm.repartition(spark.sparkContext.defaultParallelism)
-    extra = []
-    if carry_sketch:
-        doc_norm = doc_norm.withColumn(
-            "monly", (F.size("media_refs") > 0) & (F.size("tokens") == 0)
-        ).withColumnRenamed("emb_q", "q")
-        extra = ["q", "monly"]
     parts = []
     if cfg.use_token_keys:
         from chameleon_entity_linking_spark.functions.tokenize import tokens_col
@@ -129,7 +146,6 @@ def blocking_keys(
                 F.explode(
                     F.transform(name_tokens, lambda t: F.concat(F.lit("t:"), t))
                 ).alias("key"),
-                *extra,
             )
         )
     if cfg.use_lsh_keys:
@@ -137,7 +153,6 @@ def blocking_keys(
             doc_norm.select(
                 "doc_id",
                 F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
-                *extra,
             )
         )
     if cfg.use_media_keys:
@@ -149,95 +164,89 @@ def blocking_keys(
                         F.col("media_refs"), lambda m: F.concat(F.lit("m:"), m)
                     )
                 ).alias("key"),
-                *extra,
             )
         )
     keys = parts[0]
     for p in parts[1:]:
         keys = keys.unionByName(p)
-    return keys.dropDuplicates(["doc_id", "key"])
+    return keys
 
 
 def candidate_pairs(
-    doc_norm: DataFrame, cfg: BlockConfig, score_cfg=None
+    doc_norm: DataFrame, cfg: BlockConfig, persisted_out: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Generate canonical candidate pairs + per-key metrics.
 
     Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
 
-    When ``score_cfg`` (a ScoreConfig with cascade + prefilter on) is
-    given, the scoring stage's int8-sketch prefilter is FUSED into
-    pair generation: each side of the self-join carries the 64-byte
-    ``emb_q`` sketch, the estimated-cosine cut is applied in the join
-    projection — *before* the pair-dedup shuffle — and only surviving
-    pairs are deduplicated/materialized. Measured: ~73% of raw
-    candidates die at the sketch, so fusing cuts the dedup shuffle and
-    the pairs table by the same fraction. Works at any scale (the
-    sketch travels with the rows; nothing is broadcast).
+    The key table is ``persist()``-ed (two passes consume it). Pass
+    ``persisted_out`` (a list) to receive the cached DataFrame for
+    ``unpersist()`` once both outputs are materialized (long-lived
+    sessions would otherwise accumulate cached blocks).
     """
-    fuse_sketch = (
-        score_cfg is not None
-        and getattr(score_cfg, "cascade", False)
-        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
-    )
-    # keys are consumed by three downstream plans (counts/metrics,
-    # normal self-join, salted triangle join) — persist so the MinHash
-    # UDF pass runs once, not once per consumer.
-    # String keys are hashed to 64-bit ints before any shuffle/join:
-    # the self-join is a latency-bound hash probe, and 8-byte keys
-    # keep it cache-resident where ~40-byte strings thrash (measured:
-    # the join stage's CPU inflated ~3x at high parallelism). A 64-bit
-    # collision (P ~ 1e-7 at millions of keys) just adds one junk
-    # candidate pair, which scoring rejects.
-    keys = (
-        blocking_keys(doc_norm, cfg, carry_sketch=fuse_sketch)
-        .withColumn("key", F.xxhash64("key"))
-        .persist()
-    )
-    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
+    # (doc_id, key) is unique by construction: token/media keys are
+    # array_distinct per doc, LSH band keys carry their band index,
+    # and the t:/l:/m: prefixes keep families disjoint — so no dedup
+    # shuffle is spent on the key table, and count(*) == member count.
+    keys = blocking_keys(doc_norm, cfg)
+    if not cfg.debug_keys:
+        keys = keys.withColumn("key", F.xxhash64("key"))
+    # two consumers (counts pass + grouping pass) — persist so the
+    # MinHash UDF runs once, not once per consumer
+    keys = keys.persist()
+    if persisted_out is not None:
+        persisted_out.append(keys)
     cap = cfg.hot_key_cap
     ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
-    key_metrics = counts.withColumn(
-        "class",
+    # pass 1: per-key member counts. Fully map-side combinable — the
+    # shuffled bytes are one (key, partial_count) per distinct key per
+    # map partition, not the key table itself.
+    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
+    key_metrics = counts.select(
+        "key",
+        "n_docs",
         F.when(F.col("n_docs") < 2, "singleton")
         .when(F.col("n_docs") <= cap, "normal")
         .when(F.col("n_docs") <= ceiling, "salted")
-        .otherwise("dropped"),
+        .otherwise("dropped")
+        .alias("class"),
     )
-    # joining (key -> count) back: hash join on key; the subsequent
-    # self-join shuffles on key too, so the exchange is reused
-    keyed = keys.join(
-        counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
-        "key",
-    )
-    def _pair_keep(qa, qb, ma, mb):
-        est_cos = F.aggregate(
-            F.zip_with(qa, qb, lambda x, y: x.cast("int") * y.cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ) / F.lit(127.0 * 127.0)
-        # scoring uses the same int8 dot -> this cut is bit-exact with
-        # the prefilter the scoring stage re-applies
-        return ma | mb | (est_cos >= F.lit(score_cfg.prefilter_min_cheap))
-
-    side_cols = ["key", "doc_id"] + (["q", "monly"] if fuse_sketch else [])
-    normal = keyed.where(F.col("n_docs") <= cap).select(*side_cols)
-    a, b = normal.alias("a"), normal.alias("b")
-    joined_normal = a.join(b, "key").where(
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    if fuse_sketch:
-        joined_normal = joined_normal.where(
-            _pair_keep(
-                F.col("a.q"), F.col("b.q"), F.col("a.monly"), F.col("b.monly")
-            )
+    # pass 2: filter BEFORE collecting, so no aggregation buffer ever
+    # holds more than `ceiling` members — a stopword-grade key (10^8+
+    # members at 10^12 docs) is dropped without ever materializing its
+    # member list anywhere. The join and the groupBy hash-partition on
+    # the same key, so Catalyst reuses one exchange for both.
+    grouped = (
+        keys.join(
+            counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
+            "key",
         )
-    pairs_normal = joined_normal.select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy("key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .withColumn("n_docs", F.size("docs"))
     )
 
+    # -- normal keys: bounded JVM-side pair expansion, no self-join -------
+    small = grouped.where(F.col("n_docs") <= cap)
+    exploded = small.select(
+        "docs", F.posexplode("docs").alias("i", "da")
+    )
+    pairs_normal = exploded.select(
+        "da",
+        F.explode(
+            F.slice(
+                "docs", F.col("i") + F.lit(2), F.size("docs") - F.col("i") - 1
+            )
+        ).alias("db"),
+    ).select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+    )
+
+    # -- hot keys: salted triangle join (skew splitting) ------------------
     hot = (
-        keyed.where(F.col("n_docs") > cap)
+        grouped.where(F.col("n_docs") > cap)  # grouped is <= ceiling already
+        .select("key", "n_docs", F.explode("docs").alias("doc_id"))
         .withColumn("s", F.ceil(F.col("n_docs") / cap).cast("int"))
         .withColumn("g", F.pmod(F.xxhash64("doc_id", "key"), F.col("s")).cast("int"))
     )
@@ -246,25 +255,20 @@ def candidate_pairs(
         F.col("g").alias("bi"),
         F.explode(F.sequence(F.col("g"), F.col("s") - 1)).alias("bj"),
         F.col("doc_id").alias("da"),
-        *([F.col("q").alias("qa"), F.col("monly").alias("mta")] if fuse_sketch else []),
     )
     hot_right = hot.select(
         "key",
         F.explode(F.sequence(F.lit(0), F.col("g"))).alias("bi"),
         F.col("g").alias("bj"),
         F.col("doc_id").alias("db"),
-        *([F.col("q").alias("qb"), F.col("monly").alias("mtb")] if fuse_sketch else []),
     )
-    joined_hot = hot_left.join(hot_right, ["key", "bi", "bj"]).where(
-        F.col("da") != F.col("db")
-    )
-    if fuse_sketch:
-        joined_hot = joined_hot.where(
-            _pair_keep(F.col("qa"), F.col("qb"), F.col("mta"), F.col("mtb"))
+    pairs_hot = (
+        hot_left.join(hot_right, ["key", "bi", "bj"])
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
         )
-    pairs_hot = joined_hot.select(
-        F.least("da", "db").alias("doc_a"),
-        F.greatest("da", "db").alias("doc_b"),
     )
 
     pairs = pairs_normal.unionByName(pairs_hot).dropDuplicates(

@@ -28,14 +28,22 @@ def _dedup(e: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(Γ(u) ∪ {u})."""
+    min(Γ(u) ∪ {u}).
+
+    Pure row stream: the per-node minimum is a groupBy-min joined back
+    to the edges — no node ever materializes its whole neighbor set
+    (a star root's neighborhood is proportional to component size, so
+    a collect_set here would be a single-task OOM on a 10^8-member
+    component). Output may carry duplicates; the caller dedups once
+    per round.
+    """
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
-    return _dedup(
+    return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -44,26 +52,26 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges high->low; for each node u: connect every
-    smaller-or-equal neighbor (and u) to the minimum."""
+    smaller-or-equal neighbor (and u) to the minimum.
+
+    Same row-stream discipline as ``_large_star``: m = min over the
+    directed neighbors (all < u, so min(nbrs ∪ {u}) == min(nbrs)),
+    joined back to the edge stream — O(1) memory per row, any
+    component size. Emits (v, m) for every neighbor v != m plus
+    (u, m); duplicates are allowed (deduped once per round).
+    """
     directed = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    grouped = directed.groupBy("src").agg(
-        F.collect_set("dst").alias("nbrs")
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    # m = min(nbrs ∪ {u}); emit (v, m) for v in (nbrs ∪ {u}) \ {m}
-    with_min = grouped.withColumn(
-        "m", F.array_min(F.array_union("nbrs", F.array("src")))
-    )
-    exploded = with_min.select(
-        "m",
-        F.explode(F.array_union("nbrs", F.array("src"))).alias("v"),
-    )
-    return _dedup(
-        exploded.where(F.col("v") != F.col("m")).select(
-            F.col("v").alias("src"), F.col("m").alias("dst")
-        )
-    )
+    # u itself: u > every directed dst >= m, so u != m always
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return nbr_edges.unionByName(self_edges)
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -90,7 +98,9 @@ def connected_components(
     e = _dedup(e).localCheckpoint()
     prev_fp = _fingerprint(e)
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # one dedup per round (fingerprint comparison needs a set, and
+        # it bounds growth); the stars themselves tolerate duplicates
+        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

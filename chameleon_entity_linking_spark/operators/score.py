@@ -180,7 +180,7 @@ def score_pairs(
     ``threshold`` (``edges_above_threshold``) see identical results.
     """
     jw_udf, lev_ratio_udf = _make_udfs()
-    if not presketched:  # blocking may have fused the sketch already
+    if not presketched:  # set by callers that ran sketch_prefilter themselves
         pairs = sketch_prefilter(pairs, doc_norm, cfg)
     joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
         _features(doc_norm, "b"), "doc_b"

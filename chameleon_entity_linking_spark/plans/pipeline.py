@@ -135,8 +135,12 @@ class Pipeline:
             }
         )
 
+        persisted: list = []
+
         def build_pairs():
-            pairs, key_metrics = candidate_pairs(doc_norm, self.block_cfg)
+            pairs, key_metrics = candidate_pairs(
+                doc_norm, self.block_cfg, persisted_out=persisted
+            )
             self.catalog.write(
                 "block_key_metrics",
                 key_metrics.groupBy("class").agg(
@@ -148,6 +152,8 @@ class Pipeline:
             return pairs
 
         pairs = self._run_stage("block", "pairs", block_fp, build_pairs)
+        for df in persisted:  # pairs snapshot is committed; free the cache
+            df.unpersist()
 
         score_fp = _fp({"score": self.score_cfg.fingerprint(), "in": block_fp})
         scored = self._run_stage(

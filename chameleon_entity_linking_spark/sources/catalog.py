@@ -37,6 +37,32 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_counts(data_dir: str) -> list[dict[str, Any]]:
+    """Per-partition row counts from parquet footers only.
+
+    One entry per written file: {"path": <relative>, "rows": n}. For
+    ``partitionBy`` layouts the relative path carries the partition
+    values (e.g. ``cls=salted/part-...parquet``), so the manifest
+    records per-partition lineage without any data re-scan — footer
+    reads are O(files), not O(rows).
+    """
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            out.append(
+                {
+                    "path": os.path.relpath(full, data_dir),
+                    "rows": pq.ParquetFile(full).metadata.num_rows,
+                }
+            )
+    return out
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -45,6 +71,7 @@ class Snapshot:
     committed_at: float
     lineage: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
+    partitions: list[dict[str, Any]] = field(default_factory=list)
 
 
 class ParquetCatalog:
@@ -91,6 +118,7 @@ class ParquetCatalog:
             committed_at=cur["committed_at"],
             lineage=cur.get("lineage", {}),
             metrics=cur.get("metrics", {}),
+            partitions=cur.get("partitions", []),
         )
 
     def history(self, table: str) -> list[dict]:
@@ -120,9 +148,13 @@ class ParquetCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        # row count from parquet footers (no extra job over the plan)
-        spark = df.sparkSession
-        row_count = spark.read.parquet(data_dir).count()
+        # row counts from parquet FOOTERS (pyarrow metadata only — no
+        # second scan of the data, which at 100 TB would double every
+        # stage's read volume) + per-partition lineage (north rule:
+        # "per-partition lineage + metrics"): one entry per written
+        # file/partition-dir with its row count
+        partitions = _footer_counts(data_dir)
+        row_count = sum(p["rows"] for p in partitions)
         dirs = [f"snap-{snap_id}"]
         if mode == "append" and m["snapshots"]:
             dirs = m["snapshots"][-1]["data_dirs"] + dirs
@@ -134,6 +166,7 @@ class ParquetCatalog:
             "committed_at": time.time(),
             "lineage": lineage or {},
             "metrics": metrics or {},
+            "partitions": partitions,
         }
         m["snapshots"].append(entry)
         self._commit_manifest(table, m)

@@ -7,8 +7,11 @@ This module is the Spark-native version: a file-source stream over
 the documents directory, normalized per micro-batch inside
 ``foreachBatch``, committed to the catalog as *append* snapshots with
 the batch id in lineage, with malformed rows routed to an ``errors``
-table. The stream checkpoint gives exactly-once per-file processing
-across restarts (the --start_index analogue, but transactional).
+table. The stream checkpoint plus a batch_id-idempotent catalog
+commit give exactly-once per-file processing across restarts (the
+--start_index analogue, but transactional): foreachBatch alone is
+at-least-once, so ``process_batch`` skips batch ids the catalog
+lineage already records as committed.
 
 Scale notes: file-source streaming is the local stand-in for
 Kafka/queue sources; the per-batch body is the same `normalize`
@@ -75,6 +78,18 @@ def start_incremental_normalize(
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # idempotence ACROSS restarts: foreachBatch is at-least-once —
+        # a crash between the catalog commit and the streaming
+        # checkpoint commit replays this batch_id on restart. Batch ids
+        # are monotonic per checkpoint and the catalog lineage records
+        # them, so an already-committed batch_id is a no-op replay.
+        snap = (
+            catalog.current_snapshot("doc_norm_stream")
+            if catalog.exists("doc_norm_stream")
+            else None
+        )
+        if snap is not None and snap.lineage.get("batch_id", -1) >= batch_id:
+            return
         valid, dead = validate_documents(
             batch.dropDuplicates(["doc_id"])  # idempotence within batch
         )

@@ -40,6 +40,14 @@ class TestBlockingKeys:
         assert "m:mAAA" in keys
         assert sum(k.startswith("l:") for k in keys) == 16
 
+    def test_no_key_family_raises(self, spark):
+        docs = _docs(spark, [("d1", "x", [])])
+        cfg = BlockConfig(
+            use_token_keys=False, use_lsh_keys=False, use_media_keys=False
+        )
+        with pytest.raises(ValueError, match="key family"):
+            blocking_keys(normalize(docs), cfg)
+
     def test_media_only_doc_still_keyed(self, spark):
         docs = spark.createDataFrame(
             [("d1", [{"kind": "image", "text": "", "media_ref": "mX", "offset": 0}])],

@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from chameleon_entity_linking_spark.operators.cluster import (
     assign_clusters,
@@ -83,6 +84,28 @@ class TestConnectedComponents:
         edges = list(zip(nodes, nodes[1:]))
         got = _run_cc(spark, nodes, edges)
         assert set(got.values()) == {"n000"}
+
+    def test_large_component_row_stream(self, spark):
+        # ~50k-member single component: both stars must stay pure row
+        # streams — a collect_set formulation would put the whole
+        # component in one aggregation buffer at the star root.
+        # Binary-tree shape (i -- i//2): diameter ~2*log2(n).
+        n = 50_000
+        edges = (
+            spark.range(1, n + 1)
+            .select(
+                F.format_string("n%06d", F.col("id")).alias("doc_a"),
+                F.format_string("n%06d", F.floor(F.col("id") / 2)).alias("doc_b"),
+            )
+        )
+        comp = connected_components(edges)
+        rows = comp.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("cluster_id").alias("k"),
+            F.min("cluster_id").alias("root"),
+        ).collect()[0]
+        assert rows["n"] == n + 1  # nodes 0..n
+        assert rows["k"] == 1 and rows["root"] == "n000000"
 
     @pytest.mark.parametrize("seed", [0, 1])
     def test_random_graph_vs_union_find(self, spark, seed):

@@ -159,6 +159,12 @@ class TestTextStats:
         assert detect_lang(["zzz"]) == "und"
         assert detect_lang([]) == "und"
 
+    def test_detect_lang_tie_breaks_alphabetically_first(self):
+        # one marker from each of de and en -> tied scores; the kernel
+        # must agree with q_lang_id's earliest-alphabetical tie-break
+        tied = ["der", "the"]
+        assert detect_lang(tied) == "de"
+
     def test_fingerprint_stability(self):
         base = "the quick brown fox jumps over the lazy dog " * 3
         assert rolling_fingerprint(base) == rolling_fingerprint(base)

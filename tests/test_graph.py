@@ -96,6 +96,14 @@ class TestPPR:
         assert "a" not in names and len(names) == 2
         assert names[0] == "b"  # nearest neighbor ranks highest
 
+    def test_top_k_plan_is_distributed(self, spark):
+        # global top-k must compile to TakeOrderedAndProject (per-
+        # partition heaps), never a single-partition window Exchange
+        df = top_k_expansion(_edges(spark), _seeds(spark, ["a"]), 2, iterations=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "SinglePartition" not in plan
+
 
 class TestTrecSink:
     def test_line_format(self, spark):

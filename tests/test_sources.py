@@ -41,6 +41,21 @@ class TestCatalog:
         with pytest.raises(FileNotFoundError):
             catalog.read(spark, "missing")
 
+    def test_per_partition_lineage(self, spark, catalog):
+        # north rule "per-partition lineage + metrics": the manifest
+        # records one entry per written file/partition with its row
+        # count (from parquet footers — no data re-scan), summing to
+        # the snapshot row_count
+        df = spark.range(100).withColumn(
+            "cls", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+        )
+        snap = catalog.write("t", df, partition_by=["cls"])
+        assert snap.row_count == 100
+        assert snap.partitions, "per-partition entries missing"
+        assert sum(p["rows"] for p in snap.partitions) == 100
+        prefixes = {p["path"].split("/")[0] for p in snap.partitions}
+        assert prefixes == {"cls=even", "cls=odd"}
+
 
 class TestSynth:
     @pytest.fixture(scope="class")

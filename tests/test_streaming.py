@@ -60,6 +60,30 @@ class TestIncrementalNormalize:
         # no duplicates across restarts (exactly-once per file)
         assert out.select("doc_id").distinct().count() == out.count()
 
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        # crash-between-commits simulation: the catalog commit landed
+        # but the streaming checkpoint did not (foreachBatch is
+        # at-least-once). Deleting the checkpoint replays every batch
+        # id from 0; the batch_id-idempotent catalog write must skip
+        # them all — no duplicated rows, no new snapshots.
+        import shutil
+
+        inbox = str(tmp_path / "inbox")
+        wh = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(inbox)
+        t1 = synth_tables(spark, SynthConfig(n_entities=8, seed=4))["documents"]
+        _write_batch(spark, t1, os.path.join(inbox, "f1"))
+        start_incremental_normalize(spark, inbox + "/*", wh, ckpt).awaitTermination()
+        catalog = ParquetCatalog(wh)
+        n1 = catalog.read(spark, "doc_norm_stream").count()
+        snap1 = catalog.current_snapshot("doc_norm_stream").snapshot_id
+
+        shutil.rmtree(ckpt)  # lose the stream checkpoint, keep the catalog
+        start_incremental_normalize(spark, inbox + "/*", wh, ckpt).awaitTermination()
+        assert catalog.read(spark, "doc_norm_stream").count() == n1
+        assert catalog.current_snapshot("doc_norm_stream").snapshot_id == snap1
+
     def test_third_restart_is_noop(self, spark, tmp_path):
         inbox = str(tmp_path / "inbox")
         wh = str(tmp_path / "wh")
