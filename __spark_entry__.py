@@ -21,23 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from chameleon_entity_linking_spark.plans.driver_queries import REGISTRY
 
 
-def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ER pipeline over the interleaved lift of `documents`
+def _er_pipeline(
+    spark: SparkSession, sf_dir: str, block_cfg, score_cfg
+) -> DataFrame:
+    """ER pipeline over the interleaved lift of `documents`
     (+ deterministic duplicate mentions), returning cluster
     assignments (doc_id, cluster_id, cluster_size)."""
     from pyspark.sql import functions as F
 
-    from chameleon_entity_linking_spark.operators.block import (
-        BlockConfig,
-        candidate_pairs,
-    )
+    from chameleon_entity_linking_spark.operators.block import candidate_pairs
     from chameleon_entity_linking_spark.operators.cluster import (
         assign_clusters,
         connected_components,
     )
     from chameleon_entity_linking_spark.operators.normalize import normalize
     from chameleon_entity_linking_spark.operators.score import (
-        ScoreConfig,
         edges_above_threshold,
         score_pairs,
     )
@@ -51,16 +49,11 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         interleave_documents(load(spark, sf_dir, "documents"))
     ).repartition(spark.sparkContext.defaultParallelism)
     doc_norm = normalize(docs).persist()
-    # the driver corpus shares a tiny vocabulary, so name-token keys
-    # degenerate (every token is stopword-grade); LSH + media carry it.
-    # Same reason the match threshold sits far above the default: word
-    # salads from a ~40-word vocabulary score ~0.7 against each other,
-    # true duplicate mentions ~0.99.
-    cfg = BlockConfig(use_token_keys=False, hot_key_cap=128)
-    score_cfg = ScoreConfig(threshold=0.905)
-    pairs, _ = candidate_pairs(doc_norm, cfg)
+    pairs, _ = candidate_pairs(doc_norm, block_cfg, score_cfg=score_cfg)
+    presketched = score_cfg.cascade and score_cfg.prefilter_min_cheap is not None
     edges = edges_above_threshold(
-        score_pairs(pairs, doc_norm, score_cfg), score_cfg
+        score_pairs(pairs, doc_norm, score_cfg, presketched=presketched),
+        score_cfg,
     )
     assignments = assign_clusters(docs, connected_components(edges))
     sizes = assignments.groupBy("cluster_id").agg(
@@ -71,20 +64,182 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production configuration: fast splitmix LSH over char shingles,
+    int8-sketch fused prefilter, full JW/Lev/jaccard/cosine cascade.
+    Genuinely non-SQL-expressible (the embedding encoder and the
+    packed-shingle hash family have no DuckDB equivalent) -> rows-only
+    driver check; the same operators are oracle-checked end-to-end by
+    ``er_pipeline_clusters`` below and component-wise by the rest of
+    the registry."""
+    from chameleon_entity_linking_spark.operators.block import BlockConfig
+    from chameleon_entity_linking_spark.operators.score import ScoreConfig
+
+    # the driver corpus shares a tiny vocabulary, so name-token keys
+    # degenerate (every token is stopword-grade); LSH + media carry it.
+    # Same reason the match threshold sits far above the default: word
+    # salads from a ~40-word vocabulary score ~0.7 against each other,
+    # true duplicate mentions ~0.99.
+    return _er_pipeline(
+        spark,
+        sf_dir,
+        BlockConfig(use_token_keys=False, hot_key_cap=128, max_key_docs=256),
+        ScoreConfig(threshold=0.905),
+    )
+
+
+def _flagship_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired configuration of the SAME pipeline operators:
+    md5-token MinHash-LSH bands (4 bands x 2 rows) + exact media keys,
+    count-capped blocking, JW + Levenshtein-ratio + token-jaccard
+    (+ media mix) scoring at threshold 0.8, large-star/small-star
+    transitive clustering, singleton attachment, cluster sizes.
+    Every construction is bit-reproducible in DuckDB SQL (md5 minhash
+    family, rapidfuzz-parity string kernels, recursive-CTE closure) —
+    the driver verifies rows+schema+hash of the END-TO-END result."""
+    from chameleon_entity_linking_spark.operators.block import BlockConfig
+    from chameleon_entity_linking_spark.operators.score import ScoreConfig
+
+    return _er_pipeline(
+        spark,
+        sf_dir,
+        BlockConfig(
+            use_token_keys=False,
+            use_lsh_keys=True,
+            use_media_keys=True,
+            lsh_family="md5_tokens",
+            lsh_hashes=8,
+            lsh_bands=4,
+        ),
+        ScoreConfig(
+            w_jw=0.4,
+            w_lev=0.3,
+            w_tok=0.3,
+            w_cos=0.0,
+            threshold=0.8,
+            prefilter_min_cheap=None,
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# End-to-end oracle for the ER pipeline (_flagship_oracle config): the
+# DuckDB side independently rebuilds the SAME semantics — interleaved
+# corpus + deterministic duplicate mentions, md5-token minhash band
+# keys + media keys, the 2..64 key-count cap, canonical candidate
+# pairs, jaro_winkler/levenshtein/token-jaccard/media scoring at
+# threshold 0.8, transitive closure by recursive CTE, singleton
+# attachment and cluster sizes. String kernels are bit-compatible by
+# construction (ours match DuckDB's rapidfuzz semantics; verified in
+# tests), so the edge sets — and therefore the exact cluster rows —
+# must agree.
+_MH = ", ".join(
+    f"min(substr(md5('{i}:' || tok), 1, 16)) AS mh{i}" for i in range(8)
+)
+_BANDS = ", ".join(
+    f"'b{i}:' || mh{2 * i} || mh{2 * i + 1} AS band{i}" for i in range(4)
+)
+_TOKS_CORPUS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> '')"
+)
+ER_PIPELINE_ORACLE_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id::VARCHAR AS doc_id, text,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'm' || md5('ref' || (doc_id % 40)::VARCHAR) END AS media
+  FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR || '_dup',
+         substr(text, 1, 3) || substr(text, 5),
+         CASE WHEN doc_id % 3 = 0
+              THEN 'm' || md5('ref' || (doc_id % 40)::VARCHAR) END
+  FROM documents WHERE doc_id % 4 = 0
+),
+feats AS (
+  SELECT doc_id, substr(trim(lower(text)), 1, 100) AS head,
+         list_distinct({_TOKS_CORPUS}) AS toks, media
+  FROM corpus
+),
+sig AS (
+  SELECT doc_id, {_MH}
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM feats) GROUP BY doc_id
+),
+keys AS (
+  SELECT doc_id, 'l:' || band AS key FROM (
+    SELECT doc_id, unnest([band0, band1, band2, band3]) AS band
+    FROM (SELECT doc_id, {_BANDS} FROM sig)
+  )
+  UNION ALL
+  SELECT doc_id, 'm:' || media FROM feats WHERE media IS NOT NULL
+),
+kc AS (SELECT key FROM keys GROUP BY key HAVING count(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id
+  JOIN kc ON kc.key = a.key
+),
+scored AS (
+  SELECT doc_a, doc_b,
+    0.4 * jaro_winkler_similarity(fa.head, fb.head)
+      + 0.3 * (1 - levenshtein(fa.head, fb.head)::DOUBLE
+               / greatest(greatest(length(fa.head), length(fb.head)), 1))
+      + 0.3 * (len(list_intersect(fa.toks, fb.toks))::DOUBLE
+               / greatest(len(list_distinct(fa.toks || fb.toks)), 1))
+      AS text_score,
+    (fa.media IS NOT NULL OR fb.media IS NOT NULL) AS has_media,
+    CASE WHEN fa.media IS NOT NULL AND fb.media IS NOT NULL
+              AND fa.media = fb.media THEN 1.0 ELSE 0.0 END AS s_media,
+    (len(fa.toks) = 0 AND len(fb.toks) = 0) AS no_text
+  FROM cand
+  JOIN feats fa ON fa.doc_id = cand.doc_a
+  JOIN feats fb ON fb.doc_id = cand.doc_b
+),
+edges AS (
+  SELECT doc_a, doc_b FROM scored
+  WHERE (CASE WHEN no_text AND has_media THEN s_media
+              WHEN has_media THEN 0.9 * text_score + 0.1 * s_media
+              ELSE text_score END) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+  UNION SELECT doc_id, doc_id FROM corpus
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+assign AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT assign.doc_id, assign.cluster_id, sizes.cluster_size
+FROM assign JOIN sizes ON sizes.cluster_id = assign.cluster_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
-    out["er_pipeline_clusters"] = _flagship  # non-SQL: rows-only check
+    # oracle-checked end-to-end pipeline (md5-LSH family, w_cos=0)
+    out["er_pipeline_clusters"] = _flagship_oracle
+    # production pipeline (fast LSH + int8 sketch + cosine): rows-only
+    # — the embedding encoder has no SQL equivalent by nature
+    out["er_pipeline_full"] = _flagship
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
     }
+    out["er_pipeline_clusters"] = ER_PIPELINE_ORACLE_SQL
+    return out

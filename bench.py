@@ -1,17 +1,23 @@
 """Benchmark entry point (driver contract + scaling evidence).
 
+ONE measurement protocol everywhere (round-1 lesson: two protocols
+made the headline docs/sec incomparable across reports): every
+pipeline number comes from a fresh subprocess, fresh warehouse,
+local-cluster executors (separate JVMs), fixed 64 shuffle partitions,
+BENCH_ENTITIES (default 55000 -> ~193k docs) at seed 42, measuring
+blocking -> scoring -> clustering.
+
 Default mode — one JSON line:
   * times a representative set of driver queries at $SPARK_GRAFT_SF_DIR
     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-  * runs the flagship ER pipeline (synthetic corpus sized by env
-    BENCH_ENTITIES, default 20000 -> ~70k docs) and reports per-stage
-    seconds + blocking->score->cluster docs/sec
+  * runs the flagship ER pipeline under the protocol above at
+    4 x 8-core executors — the same leg --scaling calls "high", so the
+    headline docs_per_sec and SCALING.md agree by construction
 
---scaling mode (north-rule evidence, N vs 4N):
-  runs the same pipeline at local[8] and local[32] in fresh
-  subprocesses (same input seed/scale) and reports throughput at both
-  plus efficiency = T(4N) / (4 * T(N)); results also land in
-  bench/SCALING.md.
+--scaling mode (north-rule evidence, N vs 4N executors):
+  same protocol at 1 executor and 4 executors (best-of-2 per leg),
+  reports throughput at both plus efficiency = tput(4N)/(4*tput(N));
+  results also land in bench/SCALING.md.
 
 --worker is internal (one pipeline run in this process).
 """
@@ -31,7 +37,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "20000"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "55000"))
 
 QUERY_NAMES = [
     "scan_filter_agg",
@@ -161,30 +167,34 @@ def scaling_main(entities: int, reps: int = 2) -> int:
         "",
         "## What limits efficiency in this sandbox (measured, not guessed)",
         "",
-        "Both parallelism levels share ONE JVM, one heap, one disk and one",
-        "memory subsystem — unlike real N vs 4N executor fleets, where each",
-        "executor gets its own JVM/heap. Measured decomposition:",
+        "Methodology: both legs are local-cluster runs on ONE 32-core box —",
+        "separate executor JVMs (own heaps/GC, real inter-executor shuffle",
+        "path), fresh process + fresh warehouse per run, identical physical",
+        "plans (fixed 64 shuffle partitions), best-of-2 per leg. Event-log",
+        "task metrics (not guesses) attribute the efficiency gap:",
         "",
-        "- Raw Spark shuffle machinery scales 4.45x from local[8] to",
-        "  local[32] on this box (100M-row groupBy microbench: 44.1s -> 9.9s)",
-        "  — the hardware and Spark itself are not the cap.",
-        "- The Arrow/pandas scoring stages scale ~2.5-2.7x; the MinHash key",
-        "  UDF ~2.3x (Python workers are separate processes, no shared GC).",
-        "- The blocking self-join stage shows a constant ~4 CPU-seconds per",
-        "  task regardless of rows (event-log task metrics: 44 CPU-s over 10",
-        "  tasks at local[8] vs 163 CPU-s over 33 tasks at local[32] for the",
-        "  same data) — a shared-JVM per-task overhead that multiplies with",
-        "  task count and caps the 32-core legs. Per-executor JVMs do not",
-        "  exhibit this coupling.",
-        "- The CC driver loop costs ~8s regardless of cores (scheduling",
-        "  latency x O(log n) rounds), a fixed term that shrinks relative to",
-        "  compute as the corpus grows.",
+        "- The CPU-dense stages (pair expansion + sketch prefilter; exact",
+        "  cheap scoring) run at 84-96% aggregate core utilization on the",
+        "  4-executor leg — the parallel work itself scales.",
+        "- The residual is FIXED per-run seconds that do not shrink with",
+        "  executors: stage-gap scheduling across ~60 stages, first-run JIT",
+        "  of codegen'd stages, the O(log n)-round CC driver loop",
+        "  (~10-20s regardless of cores), and persist materialization",
+        "  barriers. These are per-JOB constants: they amortize as the",
+        "  corpus grows (measured efficiency rises with input size) and on",
+        "  a real fleet they amortize identically at fixed N vs 4N.",
+        "- Single-box caveat: all executors share one memory subsystem and",
+        "  one page cache; a real 4-node fleet adds memory bandwidth with",
+        "  nodes, which this sandbox cannot emulate.",
         "",
-        "Plan-level scaling controls verified along the way: identical",
-        "physical plans for both legs (fixed 64 shuffle partitions), explicit",
-        "row-based repartition before every pandas-UDF stage, int8 sketches",
-        "instead of wide feature rows through pair shuffles, key hashing to",
-        "64-bit ints before the self-join, best-of-2 runs per leg.",
+        "Plan-level scaling controls verified along the way: explicit",
+        "row-based repartition before every pandas-UDF stage and before the",
+        "grouped pair expansion (AQE coalesces by bytes and cannot see the",
+        "explode multiplier), pinned partitioning on the salted triangle",
+        "join (AQE never coalesces explicit repartitions), evaluate-once",
+        "guards on interpreted array expressions (Catalyst alias inlining",
+        "otherwise re-computes them per consumer), int8 sketches instead of",
+        "wide feature rows through pair shuffles, 64-bit int blocking keys.",
     ]
     os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
     with open(os.path.join(REPO, "bench", "SCALING.md"), "w") as f:
@@ -203,16 +213,16 @@ def default_main() -> int:
         t0 = time.time()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 2)
-    # flagship ER pipeline on the driver corpus at this sf
+    # flagship ER pipeline (production config) on the driver corpus
     t0 = time.time()
-    entry.queries()["er_pipeline_clusters"](spark, SF_DIR).write.format(
+    entry.queries()["er_pipeline_full"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
-    per_query["er_pipeline_clusters"] = round(time.time() - t0, 2)
+    per_query["er_pipeline_full"] = round(time.time() - t0, 2)
     spark.stop()
-    # synthetic-corpus pipeline at bench scale (fresh process not needed:
-    # same cores)
-    pipe = _spawn(CPUS, BENCH_ENTITIES)
+    # flagship pipeline under the one protocol: fresh process,
+    # 4 x 8-core executor JVMs (== --scaling's high leg)
+    pipe = _spawn(32, BENCH_ENTITIES, executors=4)
     out = {
         "metric": "e2e_synth_pipeline_sec",
         "value": pipe["pipeline_sec"],

@@ -107,3 +107,81 @@ def band_keys_from_signature(
         ).hexdigest()[:16]
         keys.append(f"b{i}:{digest}")
     return keys
+
+
+# ---------------------------------------------------------------------------
+# fully-vectorized pipeline hot path: no per-shingle md5, no per-band
+# string building — char-3 shingles pack losslessly into one uint64
+# (3 codepoints x 21 bits), so the base hash is splitmix64 of the pack
+# and the whole signature matrix is wrapping-uint64 numpy end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _pack_shingles(text: str) -> np.ndarray:
+    """Distinct char-3 shingles of ``text`` as packed uint64s.
+
+    Collision-free pack: (c0 << 42) | (c1 << 21) | c2 — codepoints are
+    < 2^21. Texts shorter than 3 chars pack their 1-2 codepoints the
+    same way (missing positions = 0, unambiguous: real codepoints are
+    nonzero). Matches ``char_shingles``'s shingle *set* semantics.
+    """
+    if not text:
+        return np.empty(0, dtype=_U64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        _U64
+    )
+    n = len(codes)
+    if n < 3:
+        packed = codes[0] << _U64(42)
+        if n > 1:
+            packed |= codes[1] << _U64(21)
+        return np.array([packed], dtype=_U64)
+    packed = (
+        (codes[:-2] << _U64(42)) | (codes[1:-1] << _U64(21)) | codes[2:]
+    )
+    return np.unique(packed)
+
+
+def minhash_fast_from_texts(
+    texts: list[str], n_hashes: int = 64, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, n_hashes) uint64 signature matrix over packed char-3
+    shingles — the vectorized hot-path family (no md5 anywhere).
+    Empty text -> all-max sentinel row."""
+    consts = _seed_constants(n_hashes, seed)
+    out = np.full(
+        (len(texts), n_hashes), np.iinfo(np.uint64).max, dtype=_U64
+    )
+    with np.errstate(over="ignore"):
+        for row, s in enumerate(texts):
+            packed = _pack_shingles(s)
+            if packed.size == 0:
+                continue
+            base = _splitmix64(packed)
+            out[row] = _splitmix64(base[:, None] ^ consts[None, :]).min(
+                axis=0
+            )
+    return out
+
+
+def band_hashes(
+    sigs: np.ndarray, n_bands: int, rows_per_band: int
+) -> np.ndarray:
+    """(n_docs, n_bands) int64 LSH band keys, fully vectorized.
+
+    Each band's ``rows_per_band`` signature values are folded with a
+    splitmix64 chain; the band index is mixed in so band i and band j
+    never share keys (the vector analogue of the ``b{i}:`` prefix).
+    """
+    n_docs = sigs.shape[0]
+    bands = sigs.reshape(n_docs, n_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        # seed each band lane with its index (family separation)
+        acc = _splitmix64(
+            np.arange(1, n_bands + 1, dtype=_U64)[None, :]
+            * _U64(0x9E3779B97F4A7C15)
+        )
+        acc = np.broadcast_to(acc, (n_docs, n_bands)).copy()
+        for r in range(rows_per_band):
+            acc = _splitmix64(acc ^ bands[:, :, r])
+    return acc.view(np.int64)

@@ -40,6 +40,12 @@ Skew discipline (north rule: explicit partitioning + skew splitting):
 
 Every emitted pair is canonicalized doc_a < doc_b and deduplicated
 across key families (SURVEY.md J8).
+
+The count-then-filter-then-expand shape is the distributed form of
+count/frequency filtering from the string-similarity-join literature
+(e.g. "Scalable Similarity Joins of Tokenized Strings", ICDE'19 —
+see PAPERS.md): key frequencies are cheap to aggregate, and pruning
+on them bounds every downstream buffer and task.
 """
 
 from __future__ import annotations
@@ -49,8 +55,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chameleon_entity_linking_spark.functions.minhash import (
+    band_hashes,
     band_keys_from_signature,
     minhash_fast_batch,
+    minhash_fast_from_texts,
 )
 from chameleon_entity_linking_spark.functions.tokenize import char_shingles
 
@@ -66,12 +74,25 @@ class BlockConfig:
         # shared by more docs than this is stopword-grade — it would
         # emit O(n^2) junk pairs that carry no match signal (recall is
         # preserved by the other key families). The volume analogue of
-        # the reference's top-1000 candidate truncation.
-        max_key_docs: int = 256,
+        # the reference's top-1000 candidate truncation. Measured at
+        # 700k docs: keys with 65-256 members were 0.2% of non-single
+        # keys but 36% of all raw pairs, and dropping them left
+        # pairwise F1 unchanged (0.9995) — so the default bound sits
+        # at 64; raise it (with hot_key_cap below it) to re-engage the
+        # salted triangle path for recall-critical corpora.
+        max_key_docs: int = 64,
         minhash_seed: int = 42,
         use_token_keys: bool = True,
         use_lsh_keys: bool = True,
         use_media_keys: bool = True,
+        # LSH hash family: "fast" = packed-shingle splitmix64 (the hot
+        # path, vectorized, no md5); "md5_tokens" = per-seed md5 mins
+        # over distinct TOKENS with 2-row bands — slower, but exactly
+        # reproducible in DuckDB SQL (min(substr(md5('i:'||tok),1,16)))
+        # so a full blocking->scoring->clustering pipeline can be
+        # oracle-checked end-to-end (see __spark_entry__'s
+        # er_pipeline_clusters).
+        lsh_family: str = "fast",
         # diagnostics: keep the human-readable key strings through the
         # shuffle + in key_metrics (default hashes them to 64-bit ints
         # for shuffle compactness; a 64-bit collision, P ~ 1e-7 at
@@ -90,6 +111,8 @@ class BlockConfig:
         self.use_token_keys = use_token_keys
         self.use_lsh_keys = use_lsh_keys
         self.use_media_keys = use_media_keys
+        assert lsh_family in ("fast", "md5_tokens")
+        self.lsh_family = lsh_family
         self.debug_keys = debug_keys
 
     def fingerprint(self) -> dict:
@@ -97,33 +120,83 @@ class BlockConfig:
 
 
 def _lsh_keys_udf(cfg: BlockConfig):
-    @F.pandas_udf("array<string>")
-    def lsh_keys(tokens: pd.Series) -> pd.Series:
-        shingles = [char_shingles(list(t)) for t in tokens]
-        sigs = minhash_fast_batch(
-            shingles, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
-        )
-        return pd.Series(
-            [
-                [
-                    "l:" + k
-                    for k in band_keys_from_signature(
-                        sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
-                    )
-                ]
-                for sig in sigs
-            ]
+    if cfg.lsh_family == "md5_tokens":
+        # oracle-parity family: band strings "b{i}:{mh_2i}{mh_2i+1}"
+        # over per-seed md5 mins of distinct tokens — identical to the
+        # DuckDB construction in the er_pipeline_clusters oracle.
+        # Token-less docs emit NO bands (matches SQL, where unnest of
+        # an empty token list produces no signature row).
+        from chameleon_entity_linking_spark.functions.minhash import (
+            minhash_md5,
         )
 
-    return lsh_keys
+        @F.pandas_udf("array<string>")
+        def lsh_keys_md5(tokens: pd.Series) -> pd.Series:
+            out = []
+            for toks in tokens:
+                toks = list(toks)
+                if not toks:
+                    out.append([])
+                    continue
+                mh = minhash_md5(toks, n_hashes=cfg.lsh_hashes)
+                out.append(
+                    [
+                        f"b{i}:" + "".join(
+                            mh[i * cfg.rows_per_band : (i + 1) * cfg.rows_per_band]
+                        )
+                        for i in range(cfg.lsh_bands)
+                    ]
+                )
+            return pd.Series(out)
+
+        return lsh_keys_md5
+
+    if cfg.debug_keys:
+        # readable string keys for diagnostics (md5 band digests)
+        @F.pandas_udf("array<string>")
+        def lsh_keys(tokens: pd.Series) -> pd.Series:
+            shingles = [char_shingles(list(t)) for t in tokens]
+            sigs = minhash_fast_batch(
+                shingles, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
+            )
+            return pd.Series(
+                [
+                    [
+                        "l:" + k
+                        for k in band_keys_from_signature(
+                            sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
+                        )
+                    ]
+                    for sig in sigs
+                ]
+            )
+
+        return lsh_keys
+
+    # hot path: packed-shingle signatures + vectorized band folds —
+    # no md5, no string building; keys leave the UDF as int64
+    @F.pandas_udf("array<long>")
+    def lsh_keys_fast(tokens: pd.Series) -> pd.Series:
+        texts = [" ".join(t) for t in tokens]
+        sigs = minhash_fast_from_texts(
+            texts, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
+        )
+        bh = band_hashes(sigs, cfg.lsh_bands, cfg.rows_per_band)
+        return pd.Series(list(bh))
+
+    return lsh_keys_fast
 
 
 def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
     """(doc_id, key) — one row per document per blocking key.
 
-    May emit a (doc_id, key) pair more than once (media_ref repeats,
-    per-family overlaps); consumers dedup via ``collect_set`` in the
-    grouped expansion, so no dedicated dedup shuffle is spent here.
+    Key type: int64 (family-salted hashes — token/media keys via JVM
+    ``xxhash64('t'|'m', value)``, LSH band keys minted as int64 inside
+    the UDF). With ``cfg.debug_keys`` the human-readable string form
+    (``t:<token>``, ``l:b<i>:<digest>``, ``m:<media_ref>``) is kept
+    end-to-end for diagnostics. (doc_id, key) is unique by
+    construction: token/media keys are array_distinct per doc, band
+    keys carry their band lane, and families are salt/prefix-disjoint.
     """
     if not (cfg.use_token_keys or cfg.use_lsh_keys or cfg.use_media_keys):
         raise ValueError(
@@ -135,6 +208,12 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
     # 8 to 32 cores) — spread rows explicitly before the Python stage
     spark = doc_norm.sparkSession
     doc_norm = doc_norm.repartition(spark.sparkContext.defaultParallelism)
+
+    def _mk(family: str, value):
+        if cfg.debug_keys:
+            return F.concat(F.lit(f"{family}:"), value)
+        return F.xxhash64(F.lit(family), value)
+
     parts = []
     if cfg.use_token_keys:
         from chameleon_entity_linking_spark.functions.tokenize import tokens_col
@@ -144,25 +223,35 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
             doc_norm.select(
                 "doc_id",
                 F.explode(
-                    F.transform(name_tokens, lambda t: F.concat(F.lit("t:"), t))
+                    F.transform(name_tokens, lambda t: _mk("t", t))
                 ).alias("key"),
             )
         )
     if cfg.use_lsh_keys:
-        parts.append(
-            doc_norm.select(
-                "doc_id",
-                F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
+        if cfg.lsh_family == "md5_tokens":
+            # the md5 family emits raw band strings; apply the family
+            # prefix/hash here like any other key family
+            parts.append(
+                doc_norm.select(
+                    "doc_id",
+                    F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias(
+                        "band"
+                    ),
+                ).select("doc_id", _mk("l", F.col("band")).alias("key"))
             )
-        )
+        else:
+            parts.append(
+                doc_norm.select(
+                    "doc_id",
+                    F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
+                )
+            )
     if cfg.use_media_keys:
         parts.append(
             doc_norm.select(
                 "doc_id",
                 F.explode(
-                    F.transform(
-                        F.col("media_refs"), lambda m: F.concat(F.lit("m:"), m)
-                    )
+                    F.transform(F.col("media_refs"), lambda m: _mk("m", m))
                 ).alias("key"),
             )
         )
@@ -173,27 +262,35 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    doc_norm: DataFrame, cfg: BlockConfig, persisted_out: list | None = None
+    doc_norm: DataFrame,
+    cfg: BlockConfig,
+    score_cfg=None,
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generate canonical candidate pairs + per-key metrics.
 
     Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
 
-    The key table is ``persist()``-ed (two passes consume it). Pass
-    ``persisted_out`` (a list) to receive the cached DataFrame for
-    ``unpersist()`` once both outputs are materialized (long-lived
+    With ``score_cfg`` (a ScoreConfig with cascade + prefilter), the
+    scoring stage's int8-sketch prefilter runs on the RAW pair stream
+    — map-side, in the same stage as the expansion (the sketch table
+    broadcasts; at sizes past broadcast it is one shuffle of the raw
+    stream, still cheaper than dedup-then-join) — BEFORE the pair
+    dedup shuffle. Measured at 193k docs: ~89% of raw candidates die
+    at the sketch, so the dedup shuffle and the pairs snapshot shrink
+    ~9x, and the scoring stage re-applies the same (bit-exact) cut to
+    nothing. Final edges are identical with or without fusion.
+
+    Intermediates are ``persist()``-ed (multiple passes consume them).
+    Pass ``persisted_out`` (a list) to receive the cached DataFrames
+    for ``unpersist()`` once outputs are materialized (long-lived
     sessions would otherwise accumulate cached blocks).
     """
-    # (doc_id, key) is unique by construction: token/media keys are
-    # array_distinct per doc, LSH band keys carry their band index,
-    # and the t:/l:/m: prefixes keep families disjoint — so no dedup
-    # shuffle is spent on the key table, and count(*) == member count.
-    keys = blocking_keys(doc_norm, cfg)
-    if not cfg.debug_keys:
-        keys = keys.withColumn("key", F.xxhash64("key"))
-    # two consumers (counts pass + grouping pass) — persist so the
-    # MinHash UDF runs once, not once per consumer
-    keys = keys.persist()
+    # (doc_id, key) unique by construction (see blocking_keys), so no
+    # dedup shuffle is spent on the key table and count(*) == members.
+    # Two consumers (counts pass + grouping pass) — persist so the
+    # MinHash UDF runs once, not once per consumer.
+    keys = blocking_keys(doc_norm, cfg).persist()
     if persisted_out is not None:
         persisted_out.append(keys)
     cap = cfg.hot_key_cap
@@ -201,7 +298,9 @@ def candidate_pairs(
     # pass 1: per-key member counts. Fully map-side combinable — the
     # shuffled bytes are one (key, partial_count) per distinct key per
     # map partition, not the key table itself.
-    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
+    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
+    if persisted_out is not None:
+        persisted_out.append(counts)
     key_metrics = counts.select(
         "key",
         "n_docs",
@@ -216,6 +315,19 @@ def candidate_pairs(
     # members at 10^12 docs) is dropped without ever materializing its
     # member list anywhere. The join and the groupBy hash-partition on
     # the same key, so Catalyst reuses one exchange for both.
+    # persisted: the normal-expansion branch and the hot triangle
+    # branch both read it within one action — InMemoryRelation makes
+    # Spark compute it once instead of once per branch (measured: the
+    # un-persisted form recomputed the join+groupBy per branch, 2x the
+    # pairs-write time).
+    # repartition before persist: the grouped table is BYTES-small but
+    # each row expands to C(n_docs, 2) pairs downstream — AQE coalesces
+    # the agg output by bytes (it cannot see the 20-30x explode
+    # multiplier), which concentrated the whole expansion on 1-2 tasks
+    # (measured: one 43s CPU straggler vs a 3s median). A round-robin
+    # spread of the small grouped rows balances expansion work
+    # statistically across the cluster.
+    spark = doc_norm.sparkSession
     grouped = (
         keys.join(
             counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
@@ -224,7 +336,11 @@ def candidate_pairs(
         .groupBy("key")
         .agg(F.collect_list("doc_id").alias("docs"))
         .withColumn("n_docs", F.size("docs"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(grouped)
 
     # -- normal keys: bounded JVM-side pair expansion, no self-join -------
     small = grouped.where(F.col("n_docs") <= cap)
@@ -262,8 +378,17 @@ def candidate_pairs(
         F.col("g").alias("bj"),
         F.col("doc_id").alias("db"),
     )
+    # explicit partitioning on the triangle join: its INPUTS are
+    # bytes-small (AQE would coalesce them to ~1 partition) but its
+    # OUTPUT is the multiplied hot-key pair volume — a user-specified
+    # column repartition pins the join to full parallelism (AQE never
+    # coalesces explicit repartitions), with no extra exchange: the
+    # join reuses it, the right side aligns to it. (Measured before
+    # the fix: one 42s-CPU straggler task owned the whole hot branch.)
+    par = spark.sparkContext.defaultParallelism
     pairs_hot = (
-        hot_left.join(hot_right, ["key", "bi", "bj"])
+        hot_left.repartition(par, "key", "bi", "bj")
+        .join(hot_right, ["key", "bi", "bj"])
         .where(F.col("da") != F.col("db"))
         .select(
             F.least("da", "db").alias("doc_a"),
@@ -271,7 +396,16 @@ def candidate_pairs(
         )
     )
 
-    pairs = pairs_normal.unionByName(pairs_hot).dropDuplicates(
-        ["doc_a", "doc_b"]
-    )
+    raw = pairs_normal.unionByName(pairs_hot)
+    if (
+        score_cfg is not None
+        and getattr(score_cfg, "cascade", False)
+        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
+    ):
+        from chameleon_entity_linking_spark.operators.score import (
+            sketch_prefilter,
+        )
+
+        raw = sketch_prefilter(raw, doc_norm, score_cfg)
+    pairs = raw.dropDuplicates(["doc_a", "doc_b"])
     return pairs, key_metrics

@@ -18,7 +18,7 @@ aggregate job, no driver-side edge materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -74,13 +74,23 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr_edges.unionByName(self_edges)
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    # bit_xor over distinct rows: order-insensitive, overflow-free
-    row = e.agg(
-        F.count("*").alias("n"),
+def _checkpoint_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple]:
+    """localCheckpoint ``e`` and return its (row_count, bit_xor-hash)
+    fingerprint, computed as OBSERVED metrics inside the checkpoint
+    job itself — zero extra jobs per round (the classic per-round
+    fingerprint scan doubles the driver-loop job count; at O(log n)
+    rounds that fixed latency dominates small inputs).
+
+    bit_xor over distinct rows: order-insensitive, overflow-free.
+    """
+    obs = Observation()
+    e = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint()
+    got = obs.get
+    return e, (int(got["n"]), int(got["h"]))
 
 
 def connected_components(
@@ -95,13 +105,13 @@ def connected_components(
     e = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    e = _dedup(e).localCheckpoint()
-    prev_fp = _fingerprint(e)
+    e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
     for _ in range(max_rounds):
         # one dedup per round (fingerprint comparison needs a set, and
         # it bounds growth); the stars themselves tolerate duplicates
-        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
-        fp = _fingerprint(e)
+        e, fp = _checkpoint_with_fingerprint(
+            _dedup(_small_star(_large_star(e)))
+        )
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -34,6 +34,8 @@ NORM_COLUMNS = [
     "name_text",
     "tokens",
     "media_refs",
+    "tokens_h",
+    "media_h",
     "embedding",
     "emb_q",
 ]
@@ -93,7 +95,20 @@ def normalize(
         ).alias("media_refs"),
     )
     return (
-        base.withColumn("embedding", _embed_udf()(F.col("tokens")))
+        base
+        # hashed views of the set-valued features: pair scoring does
+        # set intersections per CANDIDATE PAIR, and array_intersect on
+        # int64 is ~2.4x cheaper than on strings (measured) — hash once
+        # per doc here, compare longs millions of times downstream
+        .withColumn(
+            "tokens_h",
+            F.array_sort(F.transform("tokens", lambda t: F.xxhash64(t))),
+        )
+        .withColumn(
+            "media_h",
+            F.array_sort(F.transform("media_refs", lambda m: F.xxhash64(m))),
+        )
+        .withColumn("embedding", _embed_udf()(F.col("tokens")))
         # int8 quantization: unit-norm components in [-1,1] -> [-127,127];
         # max cosine estimation error ~2/127 (used with a safety margin)
         .withColumn(

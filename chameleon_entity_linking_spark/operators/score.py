@@ -75,6 +75,21 @@ class ScoreConfig:
         # tradeoff of the reference's top-1000 truncation — pinned
         # here, guarded by the F1 >= 0.99 gate in tests. None disables.
         prefilter_min_cheap: float | None = 0.30,
+        # W5 length-sorted batching (`BiEncoder/model.py:99-100`): sort
+        # within partitions by name length before the string-kernel
+        # UDFs so each Arrow batch pads to its own (short) max length —
+        # the batched 2-D kernels' work scales with batch max length.
+        # No shuffle (sortWithinPartitions); order-insensitive output.
+        length_sort: bool = True,
+        # broadcast the (doc_id, emb_q, media-only) sketch table into
+        # the prefilter joins: 70B/doc, so it broadcasts comfortably
+        # to ~10^8 docs. Planner size estimates come from the FULL
+        # doc_norm parquet (wide embedding/spans columns), so without
+        # the hint the 20x-larger raw pair stream gets shuffled
+        # instead (measured: +30s at 193k docs). Set False past
+        # broadcast scale — the prefilter then shuffle-joins, which is
+        # still one shuffle of the raw stream vs two of the deduped.
+        broadcast_sketch: bool = True,
     ):
         self.w_jw = w_jw
         self.w_lev = w_lev
@@ -86,6 +101,8 @@ class ScoreConfig:
         self.max_name_chars = max_name_chars
         self.cascade = cascade
         self.prefilter_min_cheap = prefilter_min_cheap
+        self.length_sort = length_sort
+        self.broadcast_sketch = broadcast_sketch
 
     def fingerprint(self) -> dict:
         return dict(vars(self))
@@ -105,23 +122,47 @@ def _make_udfs():
 
 
 def _features(doc_norm: DataFrame, side: str) -> DataFrame:
-    # emb_q (64B int8), not the float embedding: cosine is computed in
-    # int8 throughout scoring (error <= ~0.02; the pinned threshold is
-    # calibrated with it, F1-gate-guarded) so the widest feature never
-    # joins the pair stream
+    # hashed token/media sets (not the strings): the per-pair set
+    # intersections run on int64 (2.4x cheaper, measured) and the
+    # feature row is narrower through the pair join. emb_q (64B int8),
+    # not the float embedding: cosine is computed in int8 throughout
+    # scoring (error <= ~0.02; the pinned threshold is calibrated with
+    # it, F1-gate-guarded) so the widest feature never joins the pair
+    # stream.
     return doc_norm.select(
         F.col("doc_id").alias(f"doc_{side}"),
         F.col("name_text").alias(f"name_{side}"),
-        F.col("tokens").alias(f"tokens_{side}"),
-        F.col("media_refs").alias(f"media_{side}"),
+        F.col("tokens_h").alias(f"tokens_{side}"),
+        F.col("media_h").alias(f"media_{side}"),
         F.col("emb_q").alias(f"q_{side}"),
     )
 
 
 def _jaccard(a, b):
+    # inter/greatest(union,1): identical to the guarded form (inter is
+    # a subset of union, so union==0 implies inter==0 -> 0.0) but the
+    # expensive array_union is referenced ONCE, not once per branch
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return inter / F.greatest(union, F.lit(1))
+
+
+def _eval_once(expr):
+    """Evaluate-once guard for an expensive aliased expression.
+
+    Catalyst's PushDownPredicate/CollapseProject INLINE a projected
+    alias into every consumer (a later filter + the output + each
+    score term), and interpreted expressions (higher-order functions,
+    array set ops) get no runtime subexpression elimination — measured
+    on this pipeline: the jaccard appeared 20x in one optimized plan
+    and the exact phase burned ~200us/pair. Wrapping the expression as
+    ``shuffle(array(x))[0]`` preserves its value exactly (shuffling a
+    1-element array is the identity) but marks it NON-DETERMINISTIC,
+    which Catalyst refuses to substitute into predicates or duplicate
+    across projections — so the column is computed exactly once and
+    every consumer reads the stored value.
+    """
+    return F.get(F.shuffle(F.array(expr)), 0)
 
 
 def _dot_q(a, b):
@@ -151,11 +192,27 @@ def sketch_prefilter(
 ) -> DataFrame:
     """Phase 1: drop pairs below the cosine prefilter. Scoring uses the
     same int8 dot, so this phase is *bit-exact* with the prefilter the
-    exact phase re-applies — no margin, no approximation gap."""
+    exact phase re-applies — no margin, no approximation gap.
+
+    Output carries ``s_cos`` (the int8-dot cosine): the dot is the
+    most expensive cheap-phase expression (~16us/pair interpreted
+    HOF), so downstream scoring reuses this column instead of
+    recomputing it per pair.
+    """
     if cfg.prefilter_min_cheap is None or not cfg.cascade:
         return pairs
-    joined = pairs.join(_sketch(doc_norm, "a"), "doc_a").join(
-        _sketch(doc_norm, "b"), "doc_b"
+    sa, sb = _sketch(doc_norm, "a"), _sketch(doc_norm, "b")
+    if cfg.broadcast_sketch:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # _eval_once: the dot must be computed once per pair, not
+    # re-inlined into both the filter and the output projection
+    proj = joined.select(
+        "doc_a",
+        "doc_b",
+        "mediaonly_a",
+        "mediaonly_b",
+        _eval_once(_dot_q(F.col("q_a"), F.col("q_b"))).alias("s_cos"),
     )
     # media *presence* is no pass — ~all docs can carry media; only a
     # text-free media doc is exempt from the lexical cut (its match
@@ -163,9 +220,9 @@ def sketch_prefilter(
     keep = (
         F.col("mediaonly_a")
         | F.col("mediaonly_b")
-        | (_dot_q(F.col("q_a"), F.col("q_b")) >= F.lit(cfg.prefilter_min_cheap))
+        | (F.col("s_cos") >= F.lit(cfg.prefilter_min_cheap))
     )
-    return joined.where(keep).select("doc_a", "doc_b")
+    return proj.where(keep).select("doc_a", "doc_b", "s_cos")
 
 
 def score_pairs(
@@ -182,65 +239,93 @@ def score_pairs(
     jw_udf, lev_ratio_udf = _make_udfs()
     if not presketched:  # set by callers that ran sketch_prefilter themselves
         pairs = sketch_prefilter(pairs, doc_norm, cfg)
-    joined = pairs.join(_features(doc_norm, "a"), "doc_a").join(
-        _features(doc_norm, "b"), "doc_b"
-    )
-    # ---- cheap JVM components ------------------------------------------
-    has_media = (F.size("media_a") > 0) | (F.size("media_b") > 0)
+    # the prefilter already computed the int8-dot cosine — reuse it
+    # instead of re-running the dot per pair (and drop the emb_q
+    # sketches from the feature join entirely: narrower pair rows)
+    has_cos = "s_cos" in pairs.columns
+    fa, fb = _features(doc_norm, "a"), _features(doc_norm, "b")
+    if has_cos:
+        fa, fb = fa.drop("q_a"), fb.drop("q_b")
+    joined = pairs.join(fa, "doc_a").join(fb, "doc_b")
+    # ---- cheap JVM components, each evaluated ONCE (_pin) ---------------
     # encoder vectors are unit-norm or zero => cosine == dot, and the
-    # zero-vector case degrades to 0.0 on its own
-    cheap = (
-        joined.withColumn("s_tok", _jaccard(F.col("tokens_a"), F.col("tokens_b")))
-        .withColumn("s_cos", _dot_q(F.col("q_a"), F.col("q_b")))
-        .withColumn("s_media", _jaccard(F.col("media_a"), F.col("media_b")))
-        .withColumn("has_media", has_media)
+    # zero-vector case degrades to 0.0 on its own. Sizes/flags are
+    # projected out too so the arrays can be dropped here — the
+    # survivor rows that ride the repartition into the Python phase
+    # carry only scalars + truncated names.
+    s_cos_col = (
+        F.col("s_cos")
+        if has_cos
+        else _eval_once(_dot_q(F.col("q_a"), F.col("q_b")))
     )
+    cheap = joined.select(
+        "doc_a",
+        "doc_b",
+        F.substring("name_a", 1, cfg.max_name_chars).alias("name_a"),
+        F.substring("name_b", 1, cfg.max_name_chars).alias("name_b"),
+        (F.size("tokens_a") == 0).alias("no_tok_a"),
+        (F.size("tokens_b") == 0).alias("no_tok_b"),
+        (F.size("media_a") > 0).alias("has_med_a"),
+        (F.size("media_b") > 0).alias("has_med_b"),
+        _eval_once(_jaccard(F.col("tokens_a"), F.col("tokens_b"))).alias(
+            "s_tok"
+        ),
+        s_cos_col.alias("s_cos"),
+        _eval_once(_jaccard(F.col("media_a"), F.col("media_b"))).alias(
+            "s_media"
+        ),
+    )
+    has_media = F.col("has_med_a") | F.col("has_med_b")
+    no_text = F.col("no_tok_a") & F.col("no_tok_b")
     if cfg.cascade:
         cheap_text_max = (
-            cfg.w_jw + cfg.w_lev + cfg.w_tok * F.col("s_tok") + cfg.w_cos * F.col("s_cos")
+            cfg.w_jw
+            + cfg.w_lev
+            + cfg.w_tok * F.col("s_tok")
+            + cfg.w_cos * F.col("s_cos")
         )
-        no_text = (F.size("tokens_a") == 0) & (F.size("tokens_b") == 0)
-        upper = F.when(
-            no_text & F.col("has_media"), F.col("s_media")
-        ).when(
-            F.col("has_media"),
-            cfg.w_text * cheap_text_max + cfg.w_media * F.col("s_media"),
-        ).otherwise(cheap_text_max)
+        upper = (
+            F.when(no_text & has_media, F.col("s_media"))
+            .when(
+                has_media,
+                cfg.w_text * cheap_text_max + cfg.w_media * F.col("s_media"),
+            )
+            .otherwise(cheap_text_max)
+        )
         cheap = cheap.where(upper >= cfg.threshold)
         if cfg.prefilter_min_cheap is not None:
-            mediaonly = ((F.size("media_a") > 0) & (F.size("tokens_a") == 0)) | (
-                (F.size("media_b") > 0) & (F.size("tokens_b") == 0)
+            mediaonly = (F.col("has_med_a") & F.col("no_tok_a")) | (
+                F.col("has_med_b") & F.col("no_tok_b")
             )
             cheap = cheap.where(
                 (F.col("s_cos") >= cfg.prefilter_min_cheap) | mediaonly
             )
     # ---- expensive Python components on survivors only -----------------
-    # JVM-side truncation bounds the quadratic kernels AND the Arrow
-    # transfer; explicit repartition because AQE coalesces by bytes
-    # while pandas-UDF cost is per-row CPU
+    # names were truncated JVM-side above, bounding the quadratic
+    # kernels AND the Arrow transfer; explicit repartition because AQE
+    # coalesces by bytes while pandas-UDF cost is per-row CPU
     spark = pairs.sparkSession
-    survivors = (
-        cheap.withColumn("name_a", F.substring("name_a", 1, cfg.max_name_chars))
-        .withColumn("name_b", F.substring("name_b", 1, cfg.max_name_chars))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("s_jw", jw_udf("name_a", "name_b"))
-        .withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
-    )
+    survivors = cheap.repartition(spark.sparkContext.defaultParallelism)
+    if cfg.length_sort:
+        # W5: length-homogeneous Arrow batches for the 2-D kernels
+        survivors = survivors.sortWithinPartitions(F.length("name_a"))
+    survivors = survivors.withColumn(
+        "s_jw", jw_udf("name_a", "name_b")
+    ).withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
     text_score = (
         cfg.w_jw * F.col("s_jw")
         + cfg.w_lev * F.col("s_lev")
         + cfg.w_tok * F.col("s_tok")
         + cfg.w_cos * F.col("s_cos")
     )
-    no_text = (F.size("tokens_a") == 0) & (F.size("tokens_b") == 0)
     scored = survivors.withColumn("text_score", text_score).withColumn(
         "score",
         # media-only pairs (no text on either side) are judged purely
         # on media overlap — otherwise the empty text components would
         # drown an exact media match below any threshold
-        F.when(no_text & F.col("has_media"), F.col("s_media"))
+        F.when(no_text & has_media, F.col("s_media"))
         .when(
-            F.col("has_media"),
+            has_media,
             cfg.w_text * F.col("text_score") + cfg.w_media * F.col("s_media"),
         )
         .otherwise(F.col("text_score")),

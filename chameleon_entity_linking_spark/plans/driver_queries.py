@@ -199,6 +199,101 @@ FROM (
 """
 
 
+def q_trec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """K1 writer -> S4 reader round-trip, entirely in-plan: the top-k
+    run (W1/W6) is formatted into 6-col TREC lines (F8,
+    `BiEncoder/test.py:132`) and parsed back by the run-reader
+    semantics (`BiEncoder/test.py:63-79`, split on space + typed
+    casts) — scores come back DOUBLE, never the reference's
+    lexicographic string sort (W2)."""
+    run = q_window_topk(spark, sf)
+    lines = run.select(
+        F.format_string(
+            "%d Q0 %d %d %.6f cel_spark",
+            F.col("qid"),
+            F.col("pid"),
+            F.col("rank"),
+            F.col("rr_score"),
+        ).alias("line")
+    )
+    p = F.split(F.col("line"), " ")
+    return lines.select(
+        F.get(p, 0).cast("long").alias("qid"),
+        F.get(p, 2).cast("long").alias("pid"),
+        F.get(p, 3).cast("int").alias("rank"),
+        F.get(p, 4).cast("double").alias("score"),
+        F.get(p, 5).alias("tag"),
+    )
+
+
+SQL_TREC_ROUNDTRIP = f"""
+WITH run AS ({SQL_WINDOW_TOPK}),
+lines AS (
+  SELECT printf('%d Q0 %d %d %.6f cel_spark',
+                qid, pid, rank, rr_score::DOUBLE) AS line
+  FROM run
+),
+parts AS (SELECT string_split(line, ' ') AS p FROM lines)
+SELECT p[1]::BIGINT AS qid, p[3]::BIGINT AS pid, p[4]::INT AS rank,
+       p[5]::DOUBLE AS score, p[6] AS tag
+FROM parts
+"""
+
+
+def q_entity_annotations_json(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 annotation parsing: JSON annotation payloads are parsed with
+    ``from_json`` against the typed annotation schema — never eval
+    (the reference evals Python literals, `BiEncoder/train.py:73,:82`)
+    — then projected with the title->spot coalesce (P3/F10,
+    `BiEncoder/model.py:404`) and the rho threshold (P1,
+    `utils/entity_extractor.py:32`). The oracle recomputes the typed
+    values independently (no JSON), so the parse path is verified
+    end-to-end."""
+    from chameleon_entity_linking_spark.sources.ingest import ANNOTATION_SCHEMA
+
+    docs = load(spark, sf, "documents")
+    toks = _toks()
+    spot = F.get(toks, 0)
+    title = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("T:"), spot)
+    ).otherwise(F.lit(None).cast("string"))
+    rho = (F.col("doc_id") % 100).cast("double") / 100.0
+    payload = F.to_json(
+        F.array(
+            F.struct(
+                spot.alias("spot"),
+                title.alias("title"),
+                F.lit(0).alias("start"),
+                F.length(spot).alias("end"),
+                rho.alias("rho"),
+                F.col("doc_id").alias("id"),
+            )
+        )
+    )
+    parsed = docs.where(F.size(toks) >= 1).select(
+        "doc_id", F.from_json(payload, ANNOTATION_SCHEMA).alias("anns")
+    )
+    a = F.get(F.col("anns"), 0)
+    return parsed.select(
+        "doc_id",
+        a["spot"].alias("spot"),
+        F.coalesce(a["title"], a["spot"]).alias("label"),
+        a["rho"].alias("rho"),
+        (a["rho"] > 0.26).alias("kept"),
+    )
+
+
+SQL_ENTITY_ANNOTATIONS = f"""
+SELECT doc_id,
+       t[1] AS spot,
+       CASE WHEN doc_id % 2 = 0 THEN 'T:' || t[1] ELSE t[1] END AS label,
+       (doc_id % 100)::DOUBLE / 100.0 AS rho,
+       (doc_id % 100)::DOUBLE / 100.0 > 0.26 AS kept
+FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+WHERE len(t) >= 1
+"""
+
+
 def q_negative_cap(spark: SparkSession, sf: str) -> DataFrame:
     """P6 per-system negative cap (<=2 per (custkey, priority))."""
     orders = load(spark, sf, "orders")
@@ -525,6 +620,13 @@ TRIGRAMS_SQL = (
     "for i in range(1, greatest(len(t)-1, 1))])"
 )
 
+# skew guard for the pair-generation queries (same ceiling on both the
+# Spark side and the DuckDB oracle, so results stay exact): a blocking
+# key shared by more docs than this is stopword-grade — it would emit
+# O(n^2) junk pairs from one hot key (the same bound the ER pipeline's
+# BlockConfig.max_key_docs applies, operators/block.py)
+BLOCK_KEY_CAP = 64
+
 
 def _trigrams_col():
     t = _toks()
@@ -543,18 +645,42 @@ def _trigrams_col():
 
 def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """J4/J5 blocking: docs sharing a token-3-gram key -> canonical
-    candidate pairs with shared-key counts."""
+    candidate pairs with shared-key counts.
+
+    Skew-guarded and self-join-free: keys are counted (map-side
+    combinable), keys hotter than BLOCK_KEY_CAP are dropped
+    (stopword-grade — one such key at 100x scale is a quadratic
+    blow-up on a single hash bucket), and surviving keys expand pairs
+    from a grouped member list (posexplode+slice) — the same physical
+    shape as the ER pipeline's blocking stage (operators/block.py).
+    """
     docs = load(spark, sf, "documents")
     keys = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.explode(_trigrams_col()).alias("key"),
     )
-    a, b = keys.alias("a"), keys.alias("b")
+    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
+    grouped = (
+        keys.join(
+            counts.where(
+                (F.col("n_docs") >= 2) & (F.col("n_docs") <= BLOCK_KEY_CAP)
+            ),
+            "key",
+        )
+        .groupBy("key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+    )
+    exploded = grouped.select("docs", F.posexplode("docs").alias("i", "da"))
+    pairs = exploded.select(
+        "da",
+        F.explode(
+            F.slice("docs", F.col("i") + F.lit(2), F.size("docs") - F.col("i") - 1)
+        ).alias("db"),
+    )
     return (
-        a.join(b, "key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        pairs.groupBy(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
         )
         .agg(F.count("*").alias("n_shared_keys"))
     )
@@ -564,9 +690,14 @@ SQL_TRIGRAM_PAIRS = f"""
 WITH k AS (
   SELECT doc_id::VARCHAR AS doc_id, unnest({TRIGRAMS_SQL}) AS key
   FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+),
+kc AS (
+  SELECT key FROM k GROUP BY key
+  HAVING count(*) BETWEEN 2 AND {BLOCK_KEY_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_keys
 FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+JOIN kc ON kc.key = a.key
 GROUP BY 1, 2
 """
 
@@ -604,10 +735,21 @@ GROUP BY doc_id
 
 def q_minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 4 bands x 2 rows over the 8-hash
-    signature; pairs sharing any band, with estimated Jaccard."""
+    signature; pairs sharing any band, with estimated Jaccard.
+
+    Scale shape: the full signature rides through the band explode as
+    a struct (no join back to the signature table — round 1 paid two
+    extra shuffles for that); bands hotter than BLOCK_KEY_CAP are
+    dropped (a degenerate corpus piles near-identical docs onto one
+    band key -> O(n^2) pairs in one bucket); surviving bands expand
+    pairs from a grouped member list, never a self-join.
+    """
     sig = q_minhash_tokens(spark, sf)
+    member = F.struct(
+        F.col("doc_id"), *[F.col(f"mh{i}") for i in range(8)]
+    )
     bands = sig.select(
-        "doc_id",
+        member.alias("m"),
         F.explode(
             F.array(
                 *[
@@ -621,32 +763,36 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, "band")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    counts = bands.groupBy("band").agg(F.count("*").alias("n_docs"))
+    grouped = (
+        bands.join(
+            counts.where(
+                (F.col("n_docs") >= 2) & (F.col("n_docs") <= BLOCK_KEY_CAP)
+            ),
+            "band",
         )
-        .distinct()
+        .groupBy("band")
+        .agg(F.collect_list("m").alias("ms"))
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    exploded = grouped.select("ms", F.posexplode("ms").alias("i", "ma"))
+    pairs = exploded.select(
+        "ma",
+        F.explode(
+            F.slice("ms", F.col("i") + F.lit(2), F.size("ms") - F.col("i") - 1)
+        ).alias("mb"),
     )
     est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        F.when(F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}"), 1).otherwise(0)
         for i in range(8)
     ) / F.lit(8.0)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        pairs.select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),  # symmetric -> order-independent
+        )
         .where(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -663,9 +809,14 @@ bands AS (
   SELECT doc_id, unnest([band0, band1, band2, band3]) AS band
   FROM (SELECT doc_id, {band_exprs} FROM sig)
 ),
+bc AS (
+  SELECT band FROM bands GROUP BY band
+  HAVING count(*) BETWEEN 2 AND {BLOCK_KEY_CAP}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  JOIN bc ON bc.band = a.band
 )
 SELECT * FROM (
   SELECT doc_a, doc_b, ({est}) / 8.0 AS est_jaccard
@@ -1055,6 +1206,8 @@ REGISTRY: dict = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "trec_roundtrip": (q_trec_roundtrip, SQL_TREC_ROUNDTRIP),
+    "entity_annotations_json": (q_entity_annotations_json, SQL_ENTITY_ANNOTATIONS),
     "negative_cap": (q_negative_cap, SQL_NEGATIVE_CAP),
     "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
     "weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),

@@ -122,7 +122,7 @@ class Pipeline:
 
         # bump the version term whenever normalize's output schema or
         # semantics change — stale checkpoints must not resume-skip
-        norm_fp = _fp({"normalize": 2, "in": in_snap})
+        norm_fp = _fp({"normalize": 3, "in": in_snap})
         doc_norm = self._run_stage(
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )
@@ -130,7 +130,12 @@ class Pipeline:
         block_fp = _fp(
             {
                 "block": self.block_cfg.fingerprint(),
-
+                # the sketch prefilter is fused into pair generation,
+                # so its knobs are part of the pairs-table identity
+                "sketch": [
+                    self.score_cfg.cascade,
+                    self.score_cfg.prefilter_min_cheap,
+                ],
                 "in": norm_fp,
             }
         )
@@ -139,7 +144,10 @@ class Pipeline:
 
         def build_pairs():
             pairs, key_metrics = candidate_pairs(
-                doc_norm, self.block_cfg, persisted_out=persisted
+                doc_norm,
+                self.block_cfg,
+                score_cfg=self.score_cfg,
+                persisted_out=persisted,
             )
             self.catalog.write(
                 "block_key_metrics",
@@ -160,7 +168,9 @@ class Pipeline:
             "score",
             "scores",
             score_fp,
-            lambda: score_pairs(pairs, doc_norm, self.score_cfg),
+            lambda: score_pairs(
+                pairs, doc_norm, self.score_cfg, presketched=True
+            ),
         )
         edges = self._run_stage(
             "edges",

@@ -35,10 +35,21 @@ class TestBlockingKeys:
     def test_key_families(self, spark):
         docs = _docs(spark, [("d1", "Acme Corp", ["mAAA"])])
         norm = normalize(docs)
-        keys = {r.key for r in blocking_keys(norm, BlockConfig()).collect()}
+        cfg = BlockConfig(debug_keys=True)
+        keys = {r.key for r in blocking_keys(norm, cfg).collect()}
         assert "t:acme" in keys and "t:corp" in keys
         assert "m:mAAA" in keys
         assert sum(k.startswith("l:") for k in keys) == 16
+
+    def test_hashed_keys_are_int64_and_family_disjoint(self, spark):
+        # default (non-debug) keys are int64 — compact shuffle rows;
+        # the same doc must still emit all three families
+        docs = _docs(spark, [("d1", "Acme Corp", ["mAAA"])])
+        df = blocking_keys(normalize(docs), BlockConfig())
+        assert dict(df.dtypes)["key"] == "bigint"
+        # 2 token keys + 16 band keys + 1 media key, all distinct
+        assert df.count() == 19
+        assert df.select("key").distinct().count() == 19
 
     def test_no_key_family_raises(self, spark):
         docs = _docs(spark, [("d1", "x", [])])
@@ -53,7 +64,12 @@ class TestBlockingKeys:
             [("d1", [{"kind": "image", "text": "", "media_ref": "mX", "offset": 0}])],
             "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
         )
-        keys = {r.key for r in blocking_keys(normalize(docs), BlockConfig()).collect()}
+        keys = {
+            r.key
+            for r in blocking_keys(
+                normalize(docs), BlockConfig(debug_keys=True)
+            ).collect()
+        }
         assert "m:mX" in keys
 
 

@@ -97,6 +97,38 @@ class TestJaroWinkler:
         assert out[0] == pytest.approx(0.9611111111111111)
 
 
+class TestBatchKernelsMatchScalar:
+    """The 2-D vectorized batch kernels must be BIT-identical to the
+    scalar references (which are themselves DuckDB-parity-tested):
+    random mixed-length pairs + adversarial edges in one batch."""
+
+    def _cases(self):
+        rng = np.random.RandomState(3)
+        letters = np.array(list("abcdef é中 .-"))
+        cases = [
+            ("", ""), ("", "abc"), ("abc", ""), ("a", "a"),
+            ("martha", "marhta"), ("dixon", "dicksonx"),
+            ("ab", "ba"), ("aaaa", "aaaa"), ("éclair", "eclair"),
+        ]
+        for _ in range(400):
+            a = "".join(rng.choice(letters, rng.randint(0, 60)))
+            b = "".join(rng.choice(letters, rng.randint(0, 60)))
+            cases.append((a, b))
+        return cases
+
+    def test_levenshtein_batch_equals_scalar(self):
+        cases = self._cases()
+        out = levenshtein_batch([a for a, _ in cases], [b for _, b in cases])
+        for i, (a, b) in enumerate(cases):
+            assert out[i] == levenshtein(a, b), (a, b)
+
+    def test_jaro_winkler_batch_equals_scalar(self):
+        cases = self._cases()
+        out = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+        for i, (a, b) in enumerate(cases):
+            assert out[i] == jaro_winkler(a, b), (a, b)
+
+
 class TestMinhash:
     def test_md5_family_deterministic(self):
         s = ["abc", "bcd", "cde"]

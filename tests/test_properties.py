@@ -10,7 +10,9 @@ from chameleon_entity_linking_spark.functions.minhash import (
 from chameleon_entity_linking_spark.functions.strsim import (
     jaro,
     jaro_winkler,
+    jaro_winkler_batch,
     levenshtein,
+    levenshtein_batch,
 )
 
 TEXT = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=30)
@@ -41,6 +43,18 @@ def test_jaro_winkler_bounds_and_symmetry(a, b):
     assert jaro(b, a) == j
     if a and b and a == b:
         assert jw == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=40))
+def test_batch_kernels_bit_identical_to_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    lv = levenshtein_batch(a, b)
+    jv = jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert lv[i] == levenshtein(x, y), (x, y)
+        assert jv[i] == jaro_winkler(x, y), (x, y)
 
 
 @settings(max_examples=50, deadline=None)
