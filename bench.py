@@ -4,8 +4,10 @@ ONE measurement protocol everywhere (round-1 lesson: two protocols
 made the headline docs/sec incomparable across reports): every
 pipeline number comes from a fresh subprocess, fresh warehouse,
 local-cluster executors (separate JVMs), fixed 64 shuffle partitions,
-BENCH_ENTITIES (default 55000 -> ~193k docs) at seed 42, measuring
-blocking -> scoring -> clustering.
+a small same-shape warm-up run first (steady-state executors: JIT +
+Python-worker imports are per-executor-lifetime constants, not
+per-job work), BENCH_ENTITIES (default 200000 -> ~700k docs) at
+seed 42, measuring blocking -> scoring -> clustering.
 
 Default mode — one JSON line:
   * times a representative set of driver queries at $SPARK_GRAFT_SF_DIR
@@ -37,7 +39,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "55000"))
+# ~700k interleaved docs: large enough that the parallel stages
+# dominate the per-run constants (stage scheduling, JIT, CC driver
+# rounds) — scaling efficiency is reported at the same size
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "200000"))
 
 QUERY_NAMES = [
     "scan_filter_agg",
@@ -56,9 +61,23 @@ QUERY_NAMES = [
 
 
 def run_pipeline(
-    cores: int, entities: int, seed: int = 42, executors: int | None = None
+    cores: int,
+    entities: int,
+    seed: int = 42,
+    executors: int | None = None,
+    warmup_entities: int = 20000,
 ) -> dict:
-    """One full pipeline run in a fresh warehouse; returns timings."""
+    """One full pipeline run in a fresh warehouse; returns timings.
+
+    A small same-shape warm-up run executes first in the same session
+    (throwaway warehouse): executor JVMs JIT every generated stage and
+    Python workers import their libraries, so the measured run
+    reflects steady-state executors — what a long-running production
+    fleet actually runs — instead of charging per-JVM first-run
+    compilation to the measurement. Both scaling legs warm up
+    identically; cold-start cost is a per-executor-lifetime constant,
+    not per-job work.
+    """
     from chameleon_entity_linking_spark.plans.pipeline import Pipeline
     from chameleon_entity_linking_spark.plans.session import get_spark
     from chameleon_entity_linking_spark.sources.synth import SynthConfig
@@ -66,6 +85,13 @@ def run_pipeline(
     # fixed shuffle-partition count for every leg: the two parallelism
     # levels must run the SAME physical plan (only executor slots vary)
     spark = get_spark(cores=cores, shuffle_partitions=64, executors=executors)
+    if warmup_entities:
+        with tempfile.TemporaryDirectory() as wwh:
+            Pipeline(
+                spark,
+                wwh,
+                synth_cfg=SynthConfig(n_entities=warmup_entities, seed=7),
+            ).run(evaluate=False)
     with tempfile.TemporaryDirectory() as wh:
         pipe = Pipeline(
             spark, wh, synth_cfg=SynthConfig(n_entities=entities, seed=seed)

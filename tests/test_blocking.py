@@ -133,6 +133,54 @@ class TestCandidatePairs:
         got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
         assert got == {("d1", "d2")}  # only via shared 'unique' token
 
+    def test_fused_sketch_prefilter_equivalence(self, spark):
+        # fusing the sketch cut into pair generation must equal
+        # plain pair generation followed by the standalone prefilter
+        from chameleon_entity_linking_spark.operators.score import (
+            ScoreConfig,
+            sketch_prefilter,
+        )
+
+        docs = _docs(
+            spark,
+            [(f"d{i}", f"entity number {i % 7} common words", []) for i in range(20)]
+            + [("m1", "", ["mX"]), ("m2", "", ["mX"])],
+        )
+        dn = normalize(docs)
+        cfg = BlockConfig()
+        scfg = ScoreConfig()
+        plain, _ = candidate_pairs(dn, cfg)
+        fused, _ = candidate_pairs(dn, cfg, score_cfg=scfg)
+        expected = {
+            (r.doc_a, r.doc_b)
+            for r in sketch_prefilter(plain, dn, scfg)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        got = {(r.doc_a, r.doc_b) for r in fused.select("doc_a", "doc_b").collect()}
+        assert got == expected and len(got) > 0
+        # media-only docs pass the cut without any lexical signal
+        assert ("m1", "m2") in got
+
+    def test_md5_tokens_lsh_family_matches_kernel(self, spark):
+        from chameleon_entity_linking_spark.functions.minhash import minhash_md5
+
+        docs = _docs(spark, [("d1", "alpha beta gamma", [])])
+        cfg = BlockConfig(
+            use_token_keys=False,
+            use_media_keys=False,
+            lsh_family="md5_tokens",
+            lsh_hashes=8,
+            lsh_bands=4,
+            debug_keys=True,
+        )
+        keys = sorted(r.key for r in blocking_keys(normalize(docs), cfg).collect())
+        mh = minhash_md5(["alpha", "beta", "gamma"], n_hashes=8)
+        want = sorted(
+            f"l:b{i}:{mh[2 * i]}{mh[2 * i + 1]}" for i in range(4)
+        )
+        assert keys == want
+
     def test_lsh_blocks_near_duplicates_without_shared_name_tokens(self, spark):
         text_a = "the quick brown fox jumps over the lazy dog tonight"
         text_b = "the quick brown fox jumps over the lazy dog tonite"
