@@ -196,19 +196,23 @@ def scaling_main(entities: int, reps: int = 2) -> int:
         "Methodology: both legs are local-cluster runs on ONE 32-core box —",
         "separate executor JVMs (own heaps/GC, real inter-executor shuffle",
         "path), fresh process + fresh warehouse per run, identical physical",
-        "plans (fixed 64 shuffle partitions), best-of-2 per leg. Event-log",
-        "task metrics (not guesses) attribute the efficiency gap:",
+        "plans (fixed 64 shuffle partitions), a small same-shape warm-up",
+        "run first (executors JIT every stage and Python workers import",
+        "their libraries — per-executor-lifetime constants a long-running",
+        "fleet pays once, not per job), best-of-2 per leg. Event-log task",
+        "metrics (not guesses) attribute the efficiency gap:",
         "",
         "- The CPU-dense stages (pair expansion + sketch prefilter; exact",
         "  cheap scoring) run at 84-96% aggregate core utilization on the",
         "  4-executor leg — the parallel work itself scales.",
         "- The residual is FIXED per-run seconds that do not shrink with",
-        "  executors: stage-gap scheduling across ~60 stages, first-run JIT",
-        "  of codegen'd stages, the O(log n)-round CC driver loop",
-        "  (~10-20s regardless of cores), and persist materialization",
-        "  barriers. These are per-JOB constants: they amortize as the",
-        "  corpus grows (measured efficiency rises with input size) and on",
-        "  a real fleet they amortize identically at fixed N vs 4N.",
+        "  executors: stage-gap scheduling across ~60 stages, the",
+        "  O(log n)-round CC driver loop (~10s regardless of cores), and",
+        "  persist materialization barriers. These are per-JOB constants:",
+        "  measured efficiency rises with input size as they amortize",
+        "  (0.28 at 193k docs cold -> 0.40 at 700k cold -> 0.55 at 700k",
+        "  warm -> 0.71 at 1.75M warm; see BASELINE.md for the series),",
+        "  and on a real fleet they amortize identically at fixed N vs 4N.",
         "- Single-box caveat: all executors share one memory subsystem and",
         "  one page cache; a real 4-node fleet adds memory bandwidth with",
         "  nodes, which this sandbox cannot emulate.",
