@@ -1149,6 +1149,121 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup keeper selection: within each exact-duplicate group
+    (text hash), keep the highest-quality doc (quality-score ties
+    broken by doc_id) — the canonical "which copy survives" step of a
+    training-data dedup pass."""
+    docs = load(spark, sf, "documents")
+    en = sorted(LANG_MARKERS["en"])
+    toks = _toks()
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    quality = F.when(
+        n > 0, F.least(n / F.lit(100.0), F.lit(1.0)) * (stop / n + 0.5)
+    ).otherwise(F.lit(0.0))
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "text_hash",
+        F.round("quality", 6).alias("quality"),
+        (F.col("rn") == 1).alias("keeper"),
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    en = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
+    return f"""
+SELECT doc_id, text_hash, round(quality, 6) AS quality, rn = 1 AS keeper
+FROM (
+  SELECT doc_id, text_hash, quality,
+         row_number() OVER (PARTITION BY text_hash
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, md5(text) AS text_hash,
+           CASE WHEN len(t) > 0
+                THEN least(len(t)/100.0, 1.0)
+                     * (len(list_filter(t, x -> x IN ({en})))/len(t) + 0.5)
+                ELSE 0.0 END AS quality
+    FROM (SELECT doc_id, text, {TOKS_SQL} AS t FROM documents)
+  )
+)
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: vecs with vec_id < 10 act as coarse centroids;
+    every corpus vec is assigned to its nearest centroid (cell), then
+    top-3 per cell by centroid cosine. The cell assignment is the
+    shuffle key of IVF search at scale — probing a query means
+    scanning only its cell's partition, not the corpus."""
+    emb = load(spark, sf, "embeddings")
+    cents = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(cos, 6).alias("cosine")
+    )
+    # cell assignment: nearest centroid, centroid-id tiebreak
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("cid")
+    )
+    assigned = scored.withColumn("arn", F.row_number().over(w_assign)).where(
+        F.col("arn") == 1
+    )
+    # in-cell ranking: top-3 members per cell
+    w_cell = Window.partitionBy("cid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w_cell))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("cid").alias("cell"), "vec_id", "cosine", "rank"
+        )
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH scored AS (
+  SELECT c.vec_id, q.vec_id AS cid,
+         round({_sql_dot('c.embedding', 'q.embedding')}
+               / (sqrt({_sql_dot('c.embedding', 'c.embedding')})
+                  * sqrt({_sql_dot('q.embedding', 'q.embedding')})), 6) AS cosine
+  FROM embeddings c, embeddings q
+  WHERE c.vec_id >= 10 AND q.vec_id < 10
+),
+assigned AS (
+  SELECT vec_id, cid, cosine FROM (
+    SELECT vec_id, cid, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, cid) AS arn
+    FROM scored
+  ) WHERE arn = 1
+)
+SELECT cell, vec_id, cosine, rank FROM (
+  SELECT cid AS cell, vec_id, cosine,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM assigned
+) WHERE rank <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup scoring on blocked pairs (the
     n-gram member of the dedup family); exact small-int ratios."""
@@ -1229,5 +1344,7 @@ REGISTRY: dict = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_buckets": (q_embedding_buckets, SQL_EMBEDDING_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
 }
