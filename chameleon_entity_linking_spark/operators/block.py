@@ -151,6 +151,12 @@ def _lsh_keys_udf(cfg: BlockConfig):
 
         return lsh_keys_md5
 
+    # Token-less docs (e.g. media-only) emit NO band keys in every
+    # family: the md5 family gets this for free (unnest of an empty
+    # token list produces no signature row), and the fast/debug
+    # families must mirror it — hashing the all-max sentinel signature
+    # would give every token-less doc the SAME band keys, i.e. one
+    # giant junk blocking bucket. Media-only docs pair via media keys.
     if cfg.debug_keys:
         # readable string keys for diagnostics (md5 band digests)
         @F.pandas_udf("array<string>")
@@ -167,7 +173,9 @@ def _lsh_keys_udf(cfg: BlockConfig):
                             sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
                         )
                     ]
-                    for sig in sigs
+                    if shingle_set
+                    else []
+                    for sig, shingle_set in zip(sigs, shingles)
                 ]
             )
 
@@ -182,7 +190,9 @@ def _lsh_keys_udf(cfg: BlockConfig):
             texts, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
         )
         bh = band_hashes(sigs, cfg.lsh_bands, cfg.rows_per_band)
-        return pd.Series(list(bh))
+        return pd.Series(
+            [keys.tolist() if text else [] for keys, text in zip(bh, texts)]
+        )
 
     return lsh_keys_fast
 

@@ -152,9 +152,17 @@ class ParquetCatalog:
         # second scan of the data, which at 100 TB would double every
         # stage's read volume) + per-partition lineage (north rule:
         # "per-partition lineage + metrics"): one entry per written
-        # file/partition-dir with its row count
-        partitions = _footer_counts(data_dir)
-        row_count = sum(p["rows"] for p in partitions)
+        # file/partition-dir with its row count. The os.walk footer
+        # scan only sees a LOCAL warehouse; for a remote one
+        # (hdfs://, s3a://, ...) fall back to a metadata-only Spark
+        # count over the footers (parquet count() is footer-driven,
+        # not a data scan) so row_count is never silently zero.
+        if os.path.isdir(data_dir):
+            partitions = _footer_counts(data_dir)
+            row_count = sum(p["rows"] for p in partitions)
+        else:
+            partitions = []
+            row_count = df.sparkSession.read.parquet(data_dir).count()
         dirs = [f"snap-{snap_id}"]
         if mode == "append" and m["snapshots"]:
             dirs = m["snapshots"][-1]["data_dirs"] + dirs

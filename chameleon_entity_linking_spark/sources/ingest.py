@@ -12,10 +12,13 @@ engine at reference-shaped data:
                          col2 is parsed with ``from_json`` — NEVER
                          ``eval`` (the reference evals it,
                          `BiEncoder/train.py:66-82` at :73,:82; the
-                         survey forbids replicating that). Annotations
-                         must be JSON; the reference's Python-literal
-                         single-quote quirk is deliberately rejected.
-  read_trec_run          S4 — 6-col space-delimited run lines
+                         survey forbids replicating that). The
+                         reference's Python-literal single-quote files
+                         parse as plain DATA via ``from_json``'s
+                         ``allowSingleQuotes`` default — nothing is
+                         ever executed; genuinely malformed payloads
+                         yield NULL (dead-letterable).
+  read_trec_run          S4 — 6-col whitespace-delimited run lines
                          `qid Q0 pid rank score tag`
                          (`BiEncoder/test.py:63-79`,
                          `utils/merge_results.py:6-20`). Scores are
@@ -115,18 +118,27 @@ def read_entity_annotations(spark: SparkSession, path: str) -> DataFrame:
 def read_trec_run(spark: SparkSession, path: str) -> DataFrame:
     """S4: (qid LONG, pid LONG, rank INT, score DOUBLE, tag STRING).
 
-    Parses `qid Q0 pid rank score tag` lines. ``score`` is cast to
+    Parses `qid Q0 pid rank score tag` lines. Real run files are
+    variously single-space, multi-space or tab delimited (trec_eval
+    accepts any whitespace), so lines are read as text and split on
+    ``\\s+`` rather than a hard-coded separator. ``score`` is cast to
     DOUBLE at the boundary so every downstream sort is numeric — the
     reference keeps it a string and lexicographically mis-sorts merged
     runs (`utils/merge_results.py:10,:24`); that bug is deliberately
     not replicated (SURVEY.md W2).
     """
-    raw = (
-        spark.read.option("sep", " ")
-        .schema("qid LONG, q0 STRING, pid LONG, rank INT, score DOUBLE, tag STRING")
-        .csv(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        spark.read.text(path)
+        .where(F.trim("value") != "")
+        .select(
+            F.get(parts, 0).cast("long").alias("qid"),
+            F.get(parts, 2).cast("long").alias("pid"),
+            F.get(parts, 3).cast("int").alias("rank"),
+            F.get(parts, 4).cast("double").alias("score"),
+            F.get(parts, 5).alias("tag"),
+        )
     )
-    return raw.select("qid", "pid", "rank", "score", "tag")
 
 
 def read_jsonl_negatives(spark: SparkSession, path: str) -> DataFrame:

@@ -77,35 +77,49 @@ def start_incremental_normalize(
         .parquet(input_dir)
     )
 
+    def _committed(table: str, batch_id: int) -> bool:
+        snap = (
+            catalog.current_snapshot(table) if catalog.exists(table) else None
+        )
+        return snap is not None and snap.lineage.get("batch_id", -1) >= batch_id
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         # idempotence ACROSS restarts: foreachBatch is at-least-once —
-        # a crash between the catalog commit and the streaming
+        # a crash between a catalog commit and the streaming
         # checkpoint commit replays this batch_id on restart. Batch ids
         # are monotonic per checkpoint and the catalog lineage records
         # them, so an already-committed batch_id is a no-op replay.
-        snap = (
-            catalog.current_snapshot("doc_norm_stream")
-            if catalog.exists("doc_norm_stream")
-            else None
-        )
-        if snap is not None and snap.lineage.get("batch_id", -1) >= batch_id:
+        # The guard is PER TABLE: the two commits below are not one
+        # transaction, so a crash between them must replay only the
+        # missing one — a single doc_norm_stream-side check would
+        # silently drop the batch's dead-letter rows on replay.
+        norm_done = _committed("doc_norm_stream", batch_id)
+        errors_done = _committed("errors", batch_id)
+        if norm_done and errors_done:
             return
         valid, dead = validate_documents(
             batch.dropDuplicates(["doc_id"])  # idempotence within batch
         )
-        catalog.write(
-            "doc_norm_stream",
-            normalize(valid),
-            mode="append",
-            lineage={"stage": "stream_normalize", "batch_id": batch_id},
-            metrics={"batch_id": batch_id},
-        )
-        if dead.take(1):
+        # dead-letter FIRST: if the batch has malformed rows, a crash
+        # after this commit replays into the norm_done-only branch;
+        # the errors lineage then proves this batch's dead rows exist.
+        # (A batch with no dead rows never advances the errors
+        # lineage; its replay recomputes an empty `dead` — still a
+        # no-op, just a recomputation.)
+        if not errors_done and dead.take(1):
             catalog.write(
                 "errors",
                 dead.withColumn("batch_id", F.lit(batch_id)),
                 mode="append",
                 lineage={"stage": "dead_letter", "batch_id": batch_id},
+            )
+        if not norm_done:
+            catalog.write(
+                "doc_norm_stream",
+                normalize(valid),
+                mode="append",
+                lineage={"stage": "stream_normalize", "batch_id": batch_id},
+                metrics={"batch_id": batch_id},
             )
 
     return (
