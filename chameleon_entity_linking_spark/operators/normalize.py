@@ -25,7 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chameleon_entity_linking_spark.functions.embed import DEFAULT_DIM, encode_batch
+from chameleon_entity_linking_spark.functions.embed import (
+    DEFAULT_DIM,
+    encode_hashed_batch,
+)
 from chameleon_entity_linking_spark.functions.tokenize import tokens_col
 
 NORM_COLUMNS = [
@@ -42,10 +45,15 @@ NORM_COLUMNS = [
 
 
 def _embed_udf():
-    # built lazily: pandas_udf parses its DDL against the active session
+    # built lazily: pandas_udf parses its DDL against the active
+    # session. Inputs are the JVM-prehashed token column (tokens_h:
+    # xxhash64 per token, computed once in whole-stage codegen) plus
+    # the joined token text for trigram features — so the Python side
+    # never re-hashes a string (fully vectorized, md5-free; see
+    # functions/embed.encode_hashed_batch).
     @F.pandas_udf("array<float>")
-    def embed(tokens: pd.Series) -> pd.Series:
-        vecs = encode_batch([list(t) for t in tokens])
+    def embed(tokens_h: pd.Series, joined: pd.Series) -> pd.Series:
+        vecs = encode_hashed_batch(list(tokens_h), joined.tolist())
         return pd.Series(list(vecs))
 
     return embed
@@ -108,7 +116,10 @@ def normalize(
             "media_h",
             F.array_sort(F.transform("media_refs", lambda m: F.xxhash64(m))),
         )
-        .withColumn("embedding", _embed_udf()(F.col("tokens")))
+        .withColumn(
+            "embedding",
+            _embed_udf()(F.col("tokens_h"), F.array_join("tokens", " ")),
+        )
         # int8 quantization: unit-norm components in [-1,1] -> [-127,127];
         # max cosine estimation error ~2/127 (used with a safety margin)
         .withColumn(

@@ -122,7 +122,8 @@ class Pipeline:
 
         # bump the version term whenever normalize's output schema or
         # semantics change — stale checkpoints must not resume-skip
-        norm_fp = _fp({"normalize": 3, "in": in_snap})
+        # v4: vectorized splitmix64 encoder (xxhash64 token features)
+        norm_fp = _fp({"normalize": 4, "in": in_snap})
         doc_norm = self._run_stage(
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )
