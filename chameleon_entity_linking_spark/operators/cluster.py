@@ -14,12 +14,25 @@ Node ids are strings; min() is lexicographic, which is a total order
 Convergence detection: (row_count, bit_xor of row hashes) fingerprint
 of the (deduplicated) edge set, compared between rounds — one cheap
 aggregate job, no driver-side edge materialization.
+
+Size-adaptive epilogue: the observed row count (free, from the same
+fingerprint observation) decides when the remaining rounds are pure
+driver-latency — below ``DRIVER_FINISH_MAX_EDGES`` a single
+vectorized local contraction replaces them (see ``_driver_contract``
+for the scale argument).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge-count bound for the driver-side contraction epilogue (see
+# connected_components): 3M edges ~= 150MB of ids on the driver —
+# the same order as what a TakeOrderedAndProject merge or a broadcast
+# join already ships to/from the driver. Raise/lower per deployment.
+DRIVER_FINISH_MAX_EDGES = 3_000_000
 
 
 def _dedup(e: DataFrame) -> DataFrame:
@@ -93,19 +106,86 @@ def _checkpoint_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple]:
     return e, (int(got["n"]), int(got["h"]))
 
 
+def _driver_contract(e: DataFrame) -> DataFrame:
+    """Driver-side contraction epilogue: min-label propagation with
+    pointer jumping over the (bounded) collected edge set — fully
+    vectorized numpy, O(E) memory, O(E log V) work.
+
+    This is NOT a hot-path collect: it only runs when the OBSERVED
+    deduplicated edge count (measured for free inside the checkpoint
+    job) is below ``DRIVER_FINISH_MAX_EDGES``. At that size the
+    alternative is 3-6 more near-empty distributed rounds whose cost
+    is pure driver/scheduler latency — the same reason Spark finishes
+    a global top-k with a driver merge (TakeOrderedAndProject) instead
+    of a single-partition shuffle. At 10^12-doc scale the frontier is
+    ~10^12 edges and this path cannot trigger until the star forest
+    has already collapsed below the bound.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    id_type = e.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    # factorize with sort=True: unique index order == id order, so a
+    # component's min label index maps back to its min doc_id
+    codes, ids = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+    )
+    m = len(pdf)
+    src, dst = codes[:m], codes[m:]
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = labels.copy()
+        # relax every edge toward the smaller endpoint label
+        mn = np.minimum(labels[src], labels[dst])
+        np.minimum.at(labels, src, mn)
+        np.minimum.at(labels, dst, mn)
+        # full path compression (pointer jumping to fixpoint)
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, before):
+            break
+    out = pd.DataFrame(
+        {"doc_id": ids, "cluster_id": np.asarray(ids)[labels]}
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def connected_components(
-    edges: DataFrame, max_rounds: int = 25
+    edges: DataFrame,
+    max_rounds: int = 25,
+    driver_finish_max_edges: int = DRIVER_FINISH_MAX_EDGES,
 ) -> DataFrame:
     """edges(doc_a, doc_b) -> assignments(doc_id, cluster_id).
 
     cluster_id is the component's minimum doc_id. Only nodes that
     appear in an edge are returned; callers attach singletons via a
     left join + coalesce (see pipeline.assign_clusters).
+
+    Size-adaptive: alternating large-star/small-star rounds while the
+    observed edge set exceeds ``driver_finish_max_edges``; below the
+    bound, one vectorized driver contraction replaces the remaining
+    rounds (identical output — both compute min-id components). Set
+    ``driver_finish_max_edges=0`` to force the fully distributed path.
     """
     e = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
+    if prev_fp[0] <= driver_finish_max_edges:
+        return _driver_contract(e)
     for _ in range(max_rounds):
         # one dedup per round (fingerprint comparison needs a set, and
         # it bounds growth); the stars themselves tolerate duplicates
@@ -114,6 +194,8 @@ def connected_components(
         )
         if fp == prev_fp:
             break
+        if fp[0] <= driver_finish_max_edges:
+            return _driver_contract(e)
         prev_fp = fp
     else:
         raise RuntimeError(

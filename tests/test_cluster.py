@@ -30,7 +30,9 @@ def _uf_oracle(nodes, edges):
     return {n: min(members) for members in comp.values() for n in members}
 
 
-def _run_cc(spark, nodes, edges):
+def _run_cc(spark, nodes, edges, driver_finish_max_edges=0):
+    # default 0 = force the fully distributed star rounds; tests that
+    # cover the driver-contraction epilogue pass a large bound
     edges_df = spark.createDataFrame(
         [(a, b, 1.0) for a, b in edges] or [("x", "x", 0.0)],
         "doc_a string, doc_b string, score double",
@@ -38,7 +40,12 @@ def _run_cc(spark, nodes, edges):
     if not edges:
         edges_df = edges_df.where("doc_a <> doc_a")
     docs_df = spark.createDataFrame([(n,) for n in nodes], "doc_id string")
-    got = assign_clusters(docs_df, connected_components(edges_df))
+    got = assign_clusters(
+        docs_df,
+        connected_components(
+            edges_df, driver_finish_max_edges=driver_finish_max_edges
+        ),
+    )
     return {r.doc_id: r.cluster_id for r in got.collect()}
 
 
@@ -98,7 +105,7 @@ class TestConnectedComponents:
                 F.format_string("n%06d", F.floor(F.col("id") / 2)).alias("doc_b"),
             )
         )
-        comp = connected_components(edges)
+        comp = connected_components(edges, driver_finish_max_edges=0)
         rows = comp.agg(
             F.count("*").alias("n"),
             F.countDistinct("cluster_id").alias("k"),
@@ -108,11 +115,35 @@ class TestConnectedComponents:
         assert rows["k"] == 1 and rows["root"] == "n000000"
 
     @pytest.mark.parametrize("seed", [0, 1])
-    def test_random_graph_vs_union_find(self, spark, seed):
+    @pytest.mark.parametrize("dfme", [0, 3_000_000])
+    def test_random_graph_vs_union_find(self, spark, seed, dfme):
+        # dfme=0: fully distributed star rounds; dfme=3M: the driver
+        # contraction epilogue. Both must match the union-find oracle.
         rng = np.random.RandomState(seed)
         nodes = [f"v{i:02d}" for i in range(30)]
         edges = [
             tuple(sorted(rng.choice(nodes, 2, replace=False)))
             for _ in range(25)
         ]
-        assert _run_cc(spark, nodes, edges) == _uf_oracle(nodes, edges)
+        assert _run_cc(
+            spark, nodes, edges, driver_finish_max_edges=dfme
+        ) == _uf_oracle(nodes, edges)
+
+    def test_driver_contract_mid_algorithm_handoff(self, spark):
+        # a 600-edge chain with a 500-edge bound: the first star round
+        # shrinks the edge set below the bound, so the run starts
+        # distributed and finishes with the driver contraction —
+        # the handoff must preserve exact min-id components
+        nodes = [f"c{i:04d}" for i in range(601)]
+        edges = list(zip(nodes, nodes[1:]))
+        got = _run_cc(spark, nodes, edges, driver_finish_max_edges=500)
+        assert set(got.values()) == {"c0000"}
+
+    def test_driver_contract_int_ids(self, spark):
+        # the epilogue must preserve non-string id types end-to-end
+        edges_df = spark.createDataFrame(
+            [(2, 7), (7, 5), (10, 11)], "doc_a long, doc_b long"
+        )
+        comp = connected_components(edges_df, driver_finish_max_edges=100)
+        assert dict(comp.collect()) == {2: 2, 7: 2, 5: 2, 10: 10, 11: 10}
+        assert comp.schema["cluster_id"].dataType.typeName() == "long"
