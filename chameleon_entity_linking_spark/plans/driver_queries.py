@@ -550,43 +550,84 @@ FROM documents
 """
 
 
+# winnowing parameters (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting"): k-gram size and the
+# selection-window width. Guarantee: any shared substring of length
+# >= FP_W + FP_K - 1 (23 chars) yields a shared fingerprint.
+FP_K = 8
+FP_W = 16
+
+
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing-style fingerprint: 4 smallest window-8 hashes of the
-    first 64 chars, hex-joined (rolling-hash document fingerprint)."""
+    """Whole-document winnowing fingerprint: every char-``FP_K``-gram
+    is hashed; each sliding window of ``FP_W`` consecutive k-gram
+    hashes selects its minimum; the distinct selected hashes are the
+    document's fingerprint set (emitted as count + sorted join).
+
+    Full text — no truncation (a near-dup whose divergence starts at
+    char 65 still shares most fingerprints). Physical shape: the
+    explode is O(total chars) rows — inherent to winnowing — and the
+    per-window min is a doc_id-partitioned running window, so skew is
+    bounded by the longest single document, not corpus size.
+    """
     docs = load(spark, sf, "documents").select(
-        "doc_id", F.substring("text", 1, 64).alias("s")
+        "doc_id", F.col("text").alias("s")
     )
-    windows = docs.select(
+    n_grams = F.greatest(F.length("s") - (FP_K - 1), F.lit(1))
+    hashes = docs.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("s") - 7, F.lit(1)))
-        ).alias("i"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
         "s",
     ).select(
         "doc_id",
-        F.substring(F.md5(F.substring("s", F.col("i"), 8).cast("binary")), 1, 8).alias("h"),
+        "i",
+        F.substring(
+            F.md5(F.substring("s", F.col("i"), FP_K).cast("binary")), 1, 8
+        ).alias("h"),
+        F.greatest(F.length("s") - (FP_K - 1), F.lit(1)).alias("n"),
     )
-    w = Window.partitionBy("doc_id").orderBy("h")
-    return (
-        windows.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 4)
-        .groupBy("doc_id")
-        .agg(F.array_join(F.array_sort(F.collect_list("h")), "-").alias("fingerprint"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, FP_W - 1)
+    )
+    # frame minimum first, THEN keep only complete-window start
+    # positions (short docs keep their single all-gram window)
+    mins = (
+        hashes.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("i") <= F.greatest(F.col("n") - (FP_W - 1), F.lit(1)))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.array_join(F.array_sort(F.collect_list("wmin")), "-").alias(
+            "fingerprint"
+        ),
     )
 
 
-SQL_FINGERPRINT = """
-SELECT doc_id, string_agg(h, '-' ORDER BY h) AS fingerprint
-FROM (
-  SELECT doc_id, h,
-         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-  FROM (
-    SELECT doc_id, substr(md5(substr(s, i, 8)), 1, 8) AS h
-    FROM (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
-         LATERAL unnest(generate_series(1, greatest(length(s)-7, 1))) AS u(i)
-  )
-) WHERE rn <= 4
-GROUP BY doc_id
+SQL_FINGERPRINT = f"""
+WITH h AS (
+  SELECT doc_id, i,
+         substr(md5(substr(s, i::INT, {FP_K})), 1, 8) AS h,
+         greatest(length(s) - {FP_K - 1}, 1) AS n
+  FROM (SELECT doc_id, text AS s FROM documents),
+       LATERAL unnest(generate_series(1, greatest(length(s) - {FP_K - 1}, 1))) AS u(i)
+),
+m AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING) AS wmin
+  FROM h
+),
+d AS (
+  SELECT DISTINCT doc_id, wmin FROM m
+  WHERE i <= greatest(n - {FP_W - 1}, 1)
+)
+SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+       string_agg(wmin, '-' ORDER BY wmin) AS fingerprint
+FROM d GROUP BY doc_id
 """
 
 
