@@ -669,8 +669,15 @@ TRIGRAMS_SQL = (
 BLOCK_KEY_CAP = 64
 
 
-def _trigrams_col():
-    t = _toks()
+def _trigrams_from(t):
+    """Token-3-gram strings from an already-bound token-array column.
+
+    MUST be fed a projected attribute (see ``_with_trigrams``), not
+    the raw ``_toks()`` expression: ``t`` appears five times here, and
+    Catalyst inlines a deterministic aliased expression into every
+    reference — measured on this query, the regex tokenization ran ~5x
+    per row before the eval-once guard was added.
+    """
     return F.when(
         F.size(t) >= 3,
         F.array_distinct(
@@ -684,6 +691,36 @@ def _trigrams_col():
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _trigrams_col():
+    return _trigrams_from(_toks())
+
+
+def _with_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id STRING, tg ARRAY<STRING>): trigram arrays with the
+    tokenization evaluated exactly once per row (eval-once guard from
+    operators.score — the regex split is the expensive part and HOF
+    consumers get no runtime CSE)."""
+    from chameleon_entity_linking_spark.operators.score import _eval_once
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _eval_once(_toks()).alias("t"),
+    ).select("doc_id", _trigrams_from(F.col("t")).alias("tg"))
+
+
+# DuckDB-reproducible 60-bit key hash (md5-prefix-to-BIGINT parity
+# trick): blocking keys pass two shuffles, so they travel as 8-byte
+# ints, not ~20-40B trigram strings. Both engines hash identically,
+# so even a (P ~ n^2/2^61) collision yields identical results.
+def _key_hash(col):
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+SQL_KEY_HASH = "('0x' || substr(md5({}), 1, 15))::BIGINT"
+
+
 def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """J4/J5 blocking: docs sharing a token-3-gram key -> canonical
     candidate pairs with shared-key counts.
@@ -694,11 +731,15 @@ def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
     blow-up on a single hash bucket), and surviving keys expand pairs
     from a grouped member list (posexplode+slice) — the same physical
     shape as the ER pipeline's blocking stage (operators/block.py).
+    Keys shuffle as 64-bit ints (``_key_hash``), and tokenization is
+    eval-once-guarded (round-3 rewrite: 28s -> see BENCH_r03).
     """
     docs = load(spark, sf, "documents")
-    keys = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(_trigrams_col()).alias("key"),
+    keys = _with_trigrams(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform("tg", lambda s: _key_hash(s))
+        ).alias("key"),
     )
     counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
     grouped = (
@@ -729,8 +770,11 @@ def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TRIGRAM_PAIRS = f"""
 WITH k AS (
-  SELECT doc_id::VARCHAR AS doc_id, unnest({TRIGRAMS_SQL}) AS key
-  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  SELECT doc_id, {SQL_KEY_HASH.format('key')} AS key
+  FROM (
+    SELECT doc_id::VARCHAR AS doc_id, unnest({TRIGRAMS_SQL}) AS key
+    FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  )
 ),
 kc AS (
   SELECT key FROM k GROUP BY key
@@ -1309,10 +1353,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup scoring on blocked pairs (the
     n-gram member of the dedup family); exact small-int ratios."""
     docs = load(spark, sf, "documents")
-    grams = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        _trigrams_col().alias("g"),
-    )
+    grams = _with_trigrams(docs).withColumnRenamed("tg", "g")
     pairs = q_trigram_blocking_pairs(spark, sf).where(
         F.col("n_shared_keys") >= 2
     )
