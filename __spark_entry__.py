@@ -225,6 +225,31 @@ FROM assign JOIN sizes ON sizes.cluster_id = assign.cluster_id
 """
 
 
+def _flagship_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the PRODUCTION pipeline config
+    (the one whose encoder/hash family is not SQL-expressible): its
+    cluster-size histogram. The oracle is a pinned expected table —
+    the deterministic pipeline's measured output at sf0.01, committed
+    as a regression gate — so a silent behavior change in the fast
+    LSH family, the sketch cascade or the clustering now fails the
+    driver's rows+schema+hash comparison instead of passing a
+    rows-only check. (Histogram values are pinned for the sf0.01
+    corpus the driver's correctness gate runs on.)"""
+    from pyspark.sql import functions as F
+
+    return (
+        _flagship(spark, sf_dir)
+        .groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+    )
+
+
+ER_PIPELINE_SIZE_HIST_ORACLE_SQL = """
+SELECT cluster_size::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters
+FROM (VALUES (1, 356), (2, 130), (3, 3)) AS t(cluster_size, n_clusters)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
@@ -234,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # production pipeline (fast LSH + int8 sketch + cosine): rows-only
     # — the embedding encoder has no SQL equivalent by nature
     out["er_pipeline_full"] = _flagship
+    # ...but its cluster-size histogram IS driver-checkable against a
+    # pinned expected table (deterministic pipeline, fixed corpus)
+    out["er_pipeline_size_hist"] = _flagship_size_hist
     return out
 
 
@@ -242,4 +270,5 @@ def oracle_sql() -> dict[str, str]:
         name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
     }
     out["er_pipeline_clusters"] = ER_PIPELINE_ORACLE_SQL
+    out["er_pipeline_size_hist"] = ER_PIPELINE_SIZE_HIST_ORACLE_SQL
     return out

@@ -172,3 +172,30 @@ class TestScorePairs:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" in plan
+
+    def test_eval_once_expressions_not_duplicated_in_plan(self, spark):
+        """Guardrail for the _eval_once trick (ADVICE r2): it relies on
+        Catalyst refusing to substitute/duplicate non-deterministic
+        projections. If a future optimizer simplifies
+        ``shuffle(array(x))[0]`` away, the jaccard/dot expressions get
+        re-inlined into every consumer (measured: 20 copies, ~200us
+        per pair) — this must fail loudly, not regress silently.
+        """
+        norm = _norm(
+            spark, [("d1", "a b", ["m1"]), ("d2", "a b", ["m1"])]
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2")], "doc_a string, doc_b string"
+        )
+        plan = (
+            score_pairs(pairs, norm, ScoreConfig())
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # one array_intersect per jaccard (tokens + media), computed
+        # exactly once each despite multiple consumers downstream
+        assert plan.count("array_intersect") == 2, plan
+        # the int8 dot (zip_with) computed once — in the fused
+        # prefilter — and reused by the exact phase
+        assert plan.count("zip_with") == 1, plan
