@@ -146,6 +146,38 @@ def _spawn(cores: int, entities: int, executors: int = 0) -> dict:
     )
 
 
+def _update_scaling_series(entry: dict) -> list[dict]:
+    """Append/replace this size's row in bench/SCALING.json — the
+    machine-readable size-series {n_docs, docs_per_sec at both legs,
+    efficiency} behind the scaling narrative (one row per corpus
+    size; re-running a size replaces its row)."""
+    path = os.path.join(REPO, "bench", "SCALING.json")
+    series: list[dict] = []
+    if os.path.exists(path):
+        with open(path) as f:
+            series = json.load(f).get("series", [])
+    series = [r for r in series if r["n_docs"] != entry["n_docs"]]
+    series.append(entry)
+    series.sort(key=lambda r: r["n_docs"])
+    os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "metric": "scaling_efficiency_1_to_4_executors",
+                "protocol": (
+                    "local-cluster[E,8,12g] separate executor JVMs, fresh "
+                    "process+warehouse per run, fixed 64 shuffle "
+                    "partitions, same-shape warm-up first, best-of-2 "
+                    "per leg; efficiency = tput(4x8) / (4 * tput(1x8))"
+                ),
+                "series": series,
+            },
+            f,
+            indent=1,
+        )
+    return series
+
+
 def scaling_main(entities: int, reps: int = 2) -> int:
     # N vs 4N executors: local-cluster[1,8] vs local-cluster[4,8] —
     # separate executor JVMs (own heaps/GC, real inter-executor
@@ -162,6 +194,18 @@ def scaling_main(entities: int, reps: int = 2) -> int:
         key=lambda r: r["docs_per_sec"],
     )
     efficiency = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    series = _update_scaling_series(
+        {
+            "n_docs": lo["n_docs"],
+            "entities": entities,
+            "docs_per_sec_1x8": lo["docs_per_sec"],
+            "docs_per_sec_4x8": hi["docs_per_sec"],
+            "pipeline_sec_1x8": lo["pipeline_sec"],
+            "pipeline_sec_4x8": hi["pipeline_sec"],
+            "efficiency": round(efficiency, 3),
+            "f1": hi["f1"],
+        }
+    )
     out = {
         "metric": "scaling_efficiency_1_to_4_executors",
         "value": round(efficiency, 3),
@@ -169,6 +213,7 @@ def scaling_main(entities: int, reps: int = 2) -> int:
         "n_docs": lo["n_docs"],
         "low": lo,
         "high": hi,
+        "series": series,
     }
     print(json.dumps(out))
     md = [
@@ -270,6 +315,13 @@ def default_main() -> int:
         "cores": CPUS,
         "stage_sec": pipe["stage_sec"],
     }
+    # surface the committed N-vs-4N size series (bench/SCALING.json,
+    # written by --scaling runs) so the per-round BENCH_r{N}.json
+    # carries the machine-readable scaling evidence too
+    scaling_path = os.path.join(REPO, "bench", "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling_series"] = json.load(f).get("series", [])
     print(json.dumps(out))
     return 0
 

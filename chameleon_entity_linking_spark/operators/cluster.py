@@ -122,7 +122,8 @@ def _driver_contract(e: DataFrame) -> DataFrame:
     has already collapsed below the bound.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     spark = e.sparkSession
     id_type = e.schema["src"].dataType
@@ -132,15 +133,24 @@ def _driver_contract(e: DataFrame) -> DataFrame:
             T.StructField("cluster_id", id_type),
         ]
     )
-    pdf = e.toPandas()
-    if len(pdf) == 0:
+    # Arrow end-to-end: toPandas would materialize millions of Python
+    # string objects on the driver (measured ~4s at 1.2M edges); the
+    # arrow unique/index_in factorization is all C-speed
+    tbl = e.toArrow()
+    m = tbl.num_rows
+    if m == 0:
         return spark.createDataFrame([], out_schema)
-    # factorize with sort=True: unique index order == id order, so a
-    # component's min label index maps back to its min doc_id
-    codes, ids = pd.factorize(
-        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+    allv = pa.concat_arrays(
+        [
+            tbl.column("src").combine_chunks(),
+            tbl.column("dst").combine_chunks(),
+        ]
     )
-    m = len(pdf)
+    ids = allv.unique()
+    # sorted unique ids: label index order == id order, so a
+    # component's min label maps back to its min doc_id
+    ids = ids.take(pc.sort_indices(ids))
+    codes = pc.index_in(allv, value_set=ids).to_numpy(zero_copy_only=False)
     src, dst = codes[:m], codes[m:]
     labels = np.arange(len(ids), dtype=np.int64)
     while True:
@@ -157,8 +167,8 @@ def _driver_contract(e: DataFrame) -> DataFrame:
             labels = nxt
         if np.array_equal(labels, before):
             break
-    out = pd.DataFrame(
-        {"doc_id": ids, "cluster_id": np.asarray(ids)[labels]}
+    out = pa.table(
+        {"doc_id": ids, "cluster_id": ids.take(pa.array(labels))}
     )
     return spark.createDataFrame(out, out_schema)
 
