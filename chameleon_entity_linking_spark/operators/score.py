@@ -121,17 +121,24 @@ def _make_udfs():
     return jw_udf, lev_ratio_udf
 
 
-def _features(doc_norm: DataFrame, side: str) -> DataFrame:
+def _features(
+    doc_norm: DataFrame, side: str, max_name_chars: int | None = None
+) -> DataFrame:
     # hashed token/media sets (not the strings): the per-pair set
     # intersections run on int64 (2.4x cheaper, measured) and the
     # feature row is narrower through the pair join. emb_q (64B int8),
     # not the float embedding: cosine is computed in int8 throughout
     # scoring (error <= ~0.02; the pinned threshold is calibrated with
     # it, F1-gate-guarded) so the widest feature never joins the pair
-    # stream.
+    # stream. Names truncate HERE, before the feature shuffle (the
+    # string kernels cap at max_name_chars anyway — shuffling the tail
+    # would be pure wasted bytes).
+    name = F.col("name_text")
+    if max_name_chars is not None:
+        name = F.substring(name, 1, max_name_chars)
     return doc_norm.select(
         F.col("doc_id").alias(f"doc_{side}"),
-        F.col("name_text").alias(f"name_{side}"),
+        name.alias(f"name_{side}"),
         F.col("tokens_h").alias(f"tokens_{side}"),
         F.col("media_h").alias(f"media_{side}"),
         F.col("emb_q").alias(f"q_{side}"),
@@ -243,7 +250,8 @@ def score_pairs(
     # instead of re-running the dot per pair (and drop the emb_q
     # sketches from the feature join entirely: narrower pair rows)
     has_cos = "s_cos" in pairs.columns
-    fa, fb = _features(doc_norm, "a"), _features(doc_norm, "b")
+    fa = _features(doc_norm, "a", cfg.max_name_chars)
+    fb = _features(doc_norm, "b", cfg.max_name_chars)
     if has_cos:
         fa, fb = fa.drop("q_a"), fb.drop("q_b")
     joined = pairs.join(fa, "doc_a").join(fb, "doc_b")
@@ -261,8 +269,8 @@ def score_pairs(
     cheap = joined.select(
         "doc_a",
         "doc_b",
-        F.substring("name_a", 1, cfg.max_name_chars).alias("name_a"),
-        F.substring("name_b", 1, cfg.max_name_chars).alias("name_b"),
+        "name_a",  # already truncated in _features, pre-shuffle
+        "name_b",
         (F.size("tokens_a") == 0).alias("no_tok_a"),
         (F.size("tokens_b") == 0).alias("no_tok_b"),
         (F.size("media_a") > 0).alias("has_med_a"),
