@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Edge-count bound for the driver-side contraction epilogue (see
-# connected_components): 3M edges ~= 150MB of ids on the driver —
-# the same order as what a TakeOrderedAndProject merge or a broadcast
-# join already ships to/from the driver. Raise/lower per deployment.
-DRIVER_FINISH_MAX_EDGES = 3_000_000
+# connected_components): 10M edges ~= 500MB of ids on the driver —
+# the same order as what a large broadcast join already ships through
+# the driver, and a ~3s vectorized contraction. Raise/lower per
+# deployment (driver memory is the real constraint; the ER edge set
+# is ~matches, orders of magnitude below the raw pair stream).
+DRIVER_FINISH_MAX_EDGES = 10_000_000
 
 
 def _dedup(e: DataFrame) -> DataFrame:
