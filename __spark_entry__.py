@@ -225,6 +225,189 @@ FROM assign JOIN sizes ON sizes.cluster_id = assign.cluster_id
 """
 
 
+def _incremental_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup (operators/incremental_er.py) in
+    the oracle-expressible md5-LSH family: batch 1 = the interleaved
+    base corpus, fully resolved and "committed"; batch 2 = the
+    synthetic duplicate mentions arriving later. The incremental path
+    blocks batch 2's keys against the committed key table (full-corpus
+    member counts), scores ONLY pairs with >= 1 new endpoint, and
+    merges the new edges into the committed clusters by re-clustering
+    only the affected components. Every batch-2 duplicate must land in
+    its source doc's batch-1 cluster — verified row-exactly by a
+    two-phase DuckDB closure."""
+    from pyspark.sql import functions as F
+
+    from chameleon_entity_linking_spark.operators.block import (
+        BlockConfig,
+        blocking_keys,
+        candidate_pairs,
+    )
+    from chameleon_entity_linking_spark.operators.cluster import (
+        assign_clusters,
+        connected_components,
+    )
+    from chameleon_entity_linking_spark.operators.incremental_er import (
+        incremental_er_update,
+    )
+    from chameleon_entity_linking_spark.operators.normalize import normalize
+    from chameleon_entity_linking_spark.operators.score import (
+        ScoreConfig,
+        edges_above_threshold,
+        score_pairs,
+    )
+    from chameleon_entity_linking_spark.sources.readers import (
+        interleave_documents,
+        load,
+        with_synthetic_duplicates,
+    )
+
+    block_cfg = BlockConfig(
+        use_token_keys=False,
+        lsh_family="md5_tokens",
+        lsh_hashes=8,
+        lsh_bands=4,
+    )
+    score_cfg = ScoreConfig(
+        w_jw=0.4,
+        w_lev=0.3,
+        w_tok=0.3,
+        w_cos=0.0,
+        threshold=0.8,
+        prefilter_min_cheap=None,
+    )
+    base = interleave_documents(load(spark, sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    full = with_synthetic_duplicates(base)
+    new_docs = full.join(base.select("doc_id"), "doc_id", "left_anti")
+    # committed run over batch 1
+    norm1 = normalize(base).persist()
+    pairs1, _ = candidate_pairs(norm1, block_cfg, score_cfg=score_cfg)
+    edges1 = edges_above_threshold(
+        score_pairs(pairs1, norm1, score_cfg), score_cfg
+    )
+    assign1 = assign_clusters(base, connected_components(edges1))
+    # incremental step over batch 2 (committed keys re-derived here —
+    # deterministic per doc; production commits them, see the catalog
+    # flow in tests/test_incremental_er.py)
+    _edges2, merged = incremental_er_update(
+        new_docs,
+        norm1,
+        blocking_keys(norm1, block_cfg),
+        assign1,
+        block_cfg,
+        score_cfg,
+    )
+    sizes = merged.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return merged.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+INCREMENTAL_ER_ORACLE_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id::VARCHAR AS doc_id, text,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'm' || md5('ref' || (doc_id % 40)::VARCHAR) END AS media,
+         FALSE AS is_new
+  FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR || '_dup',
+         substr(text, 1, 3) || substr(text, 5),
+         CASE WHEN doc_id % 3 = 0
+              THEN 'm' || md5('ref' || (doc_id % 40)::VARCHAR) END,
+         TRUE
+  FROM documents WHERE doc_id % 4 = 0
+),
+feats AS (
+  SELECT doc_id, substr(trim(lower(text)), 1, 100) AS head,
+         list_distinct({_TOKS_CORPUS}) AS toks, media, is_new
+  FROM corpus
+),
+sig AS (
+  SELECT doc_id, {_MH}
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM feats) GROUP BY doc_id
+),
+keys AS (
+  SELECT k.doc_id, k.key, f.is_new FROM (
+    SELECT doc_id, 'l:' || band AS key FROM (
+      SELECT doc_id, unnest([band0, band1, band2, band3]) AS band
+      FROM (SELECT doc_id, {_BANDS} FROM sig)
+    )
+    UNION ALL
+    SELECT doc_id, 'm:' || media FROM feats WHERE media IS NOT NULL
+  ) k JOIN feats f ON f.doc_id = k.doc_id
+),
+-- phase 1: committed run sees only batch-1 members and counts
+kc1 AS (
+  SELECT key FROM keys WHERE NOT is_new
+  GROUP BY key HAVING count(*) BETWEEN 2 AND 64
+),
+cand1 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id
+  JOIN kc1 ON kc1.key = a.key
+  WHERE NOT a.is_new AND NOT b.is_new
+),
+-- phase 2: keys touched by the new batch, FULL-corpus counts,
+-- pairs with >= 1 new endpoint
+kc2 AS (
+  SELECT key FROM keys
+  GROUP BY key
+  HAVING count(*) BETWEEN 2 AND 64 AND bool_or(is_new)
+),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id
+  JOIN kc2 ON kc2.key = a.key
+  WHERE a.is_new OR b.is_new
+),
+cand AS (SELECT doc_a, doc_b FROM cand1 UNION SELECT doc_a, doc_b FROM cand2),
+scored AS (
+  SELECT doc_a, doc_b,
+    0.4 * jaro_winkler_similarity(fa.head, fb.head)
+      + 0.3 * (1 - levenshtein(fa.head, fb.head)::DOUBLE
+               / greatest(greatest(length(fa.head), length(fb.head)), 1))
+      + 0.3 * (len(list_intersect(fa.toks, fb.toks))::DOUBLE
+               / greatest(len(list_distinct(fa.toks || fb.toks)), 1))
+      AS text_score,
+    (fa.media IS NOT NULL OR fb.media IS NOT NULL) AS has_media,
+    CASE WHEN fa.media IS NOT NULL AND fb.media IS NOT NULL
+              AND fa.media = fb.media THEN 1.0 ELSE 0.0 END AS s_media,
+    (len(fa.toks) = 0 AND len(fb.toks) = 0) AS no_text
+  FROM cand
+  JOIN feats fa ON fa.doc_id = cand.doc_a
+  JOIN feats fb ON fb.doc_id = cand.doc_b
+),
+edges AS (
+  SELECT doc_a, doc_b FROM scored
+  WHERE (CASE WHEN no_text AND has_media THEN s_media
+              WHEN has_media THEN 0.9 * text_score + 0.1 * s_media
+              ELSE text_score END) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+  UNION SELECT doc_id, doc_id FROM corpus
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+assign AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT assign.doc_id, assign.cluster_id, sizes.cluster_size
+FROM assign JOIN sizes ON sizes.cluster_id = assign.cluster_id
+"""
+
+
 def _flagship_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable invariant for the PRODUCTION pipeline config
     (the one whose encoder/hash family is not SQL-expressible): its
@@ -233,8 +416,10 @@ def _flagship_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a regression gate — so a silent behavior change in the fast
     LSH family, the sketch cascade or the clustering now fails the
     driver's rows+schema+hash comparison instead of passing a
-    rows-only check. (Histogram values are pinned for the sf0.01
-    corpus the driver's correctness gate runs on.)"""
+    rows-only check. (The oracle dispatches its pinned values on a
+    corpus key — row count + total text chars — so the invariant
+    holds at any pinned scale factor; sf0.001 and sf0.01 are both
+    pinned.)"""
     from pyspark.sql import functions as F
 
     return (
@@ -244,9 +429,85 @@ def _flagship_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ER_PIPELINE_SIZE_HIST_ORACLE_SQL = """
+# The pinned-oracle dispatch key: (row count, total text chars)
+# identifies the committed corpus — sf0.001 and sf0.01 both have 500
+# docs, so row count alone cannot tell them apart.
+_CORPUS_KEY_SQL = (
+    "SELECT count(*)::VARCHAR || '-' || sum(length(text))::VARCHAR AS ck"
+    " FROM documents"
+)
+
+ER_PIPELINE_SIZE_HIST_ORACLE_SQL = f"""
+WITH n AS ({_CORPUS_KEY_SQL}),
+pins(ck, cluster_size, n_clusters) AS (VALUES
+  ('500-153156', 1, 363), ('500-153156', 2, 121),
+  ('500-153156', 3, 4), ('500-153156', 4, 2),
+  ('500-149174', 1, 356), ('500-149174', 2, 130), ('500-149174', 3, 3)
+)
 SELECT cluster_size::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters
-FROM (VALUES (1, 356), (2, 130), (3, 3)) AS t(cluster_size, n_clusters)
+FROM pins JOIN n USING (ck)
+"""
+
+
+def _flagship_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible F1 gate for the PRODUCTION pipeline: pairwise
+    confusion counts (tp/fp/fn/tn, operators/evaluate.py) of the
+    flagship clusters against the deterministic duplicate-mention
+    labels of the driver corpus — positives pair each duplicated doc
+    with its ``_dup`` mention, negatives pair it with the NEXT
+    duplicated doc's mention. The north rule's F1 >= 0.99 quality bar
+    thereby sits in the driver contract (oracle = pinned per-sf
+    expected counts, corpus-size-dispatched), not only in pytest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chameleon_entity_linking_spark.operators.evaluate import (
+        pairwise_confusion,
+    )
+    from chameleon_entity_linking_spark.sources.readers import load
+
+    assignments = _flagship(spark, sf_dir).select("doc_id", "cluster_id")
+    srcs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("did"),
+            F.col("doc_id").cast("string").alias("src"),
+        )
+    )
+    # global window: fine here — the label fixture is O(corpus/4) tiny
+    # rows, and the total order is what makes the negatives
+    # deterministic
+    lab = srcs.withColumn("nxt", F.lead("src").over(Window.orderBy("did")))
+    pos = lab.select(
+        F.col("src").alias("doc_a"),
+        F.concat("src", F.lit("_dup")).alias("doc_b"),
+        F.lit(True).alias("is_match"),
+    )
+    neg = lab.where(F.col("nxt").isNotNull()).select(
+        F.col("src").alias("doc_a"),
+        F.concat("nxt", F.lit("_dup")).alias("doc_b"),
+        F.lit(False).alias("is_match"),
+    )
+    conf = pairwise_confusion(pos.unionByName(neg), assignments)
+    return conf.agg(
+        F.sum((F.col("is_match") & F.col("predicted")).cast("long")).alias("tp"),
+        F.sum((~F.col("is_match") & F.col("predicted")).cast("long")).alias("fp"),
+        F.sum((F.col("is_match") & ~F.col("predicted")).cast("long")).alias("fn"),
+        F.sum((~F.col("is_match") & ~F.col("predicted")).cast("long")).alias("tn"),
+    )
+
+
+# pairwise F1 at the pins: sf0.001 tp=125 fn=0 -> F1 = 1.0;
+# sf0.01 tp=124 fn=1 -> F1 = 0.99598 — both clear the >= 0.99 rule.
+ER_PIPELINE_F1_ORACLE_SQL = f"""
+WITH n AS ({_CORPUS_KEY_SQL}),
+pins(ck, tp, fp, fn, tn) AS (VALUES
+  ('500-153156', 125, 0, 0, 124),
+  ('500-149174', 124, 0, 1, 124)
+)
+SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS tn
+FROM pins JOIN n USING (ck)
 """
 
 
@@ -262,6 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ...but its cluster-size histogram IS driver-checkable against a
     # pinned expected table (deterministic pipeline, fixed corpus)
     out["er_pipeline_size_hist"] = _flagship_size_hist
+    # ...and so are its confusion counts vs the duplicate-mention
+    # labels — the north rule's F1 gate, driver-visible
+    out["er_pipeline_f1"] = _flagship_f1
+    # cross-run incremental dedup: batch 2 joins batch 1's committed
+    # clusters through the delta-only path (md5 family, exact oracle)
+    out["incremental_er_clusters"] = _incremental_er_clusters
     return out
 
 
@@ -271,4 +538,6 @@ def oracle_sql() -> dict[str, str]:
     }
     out["er_pipeline_clusters"] = ER_PIPELINE_ORACLE_SQL
     out["er_pipeline_size_hist"] = ER_PIPELINE_SIZE_HIST_ORACLE_SQL
+    out["er_pipeline_f1"] = ER_PIPELINE_F1_ORACLE_SQL
+    out["incremental_er_clusters"] = INCREMENTAL_ER_ORACLE_SQL
     return out

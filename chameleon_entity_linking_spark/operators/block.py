@@ -119,6 +119,16 @@ class BlockConfig:
         return dict(vars(self))
 
 
+def _no_band_mask(tokens: pd.Series) -> list[bool]:
+    """Shared no-bands rule for every LSH family: a token-less doc
+    emits NO band keys. One predicate, derived from the tokens list
+    itself — the three families used to spell it three ways (joined
+    text truthiness / shingle-set truthiness / empty token list),
+    which coincide today but could drift apart if tokenization or
+    shingle handling ever changes (ADVICE r3)."""
+    return [len(t) == 0 for t in tokens]
+
+
 def _lsh_keys_udf(cfg: BlockConfig):
     if cfg.lsh_family == "md5_tokens":
         # oracle-parity family: band strings "b{i}:{mh_2i}{mh_2i+1}"
@@ -133,9 +143,9 @@ def _lsh_keys_udf(cfg: BlockConfig):
         @F.pandas_udf("array<string>")
         def lsh_keys_md5(tokens: pd.Series) -> pd.Series:
             out = []
-            for toks in tokens:
+            for toks, empty in zip(tokens, _no_band_mask(tokens)):
                 toks = list(toks)
-                if not toks:
+                if empty:
                     out.append([])
                     continue
                 mh = minhash_md5(toks, n_hashes=cfg.lsh_hashes)
@@ -152,11 +162,12 @@ def _lsh_keys_udf(cfg: BlockConfig):
         return lsh_keys_md5
 
     # Token-less docs (e.g. media-only) emit NO band keys in every
-    # family: the md5 family gets this for free (unnest of an empty
-    # token list produces no signature row), and the fast/debug
-    # families must mirror it — hashing the all-max sentinel signature
-    # would give every token-less doc the SAME band keys, i.e. one
-    # giant junk blocking bucket. Media-only docs pair via media keys.
+    # family (shared ``_no_band_mask``): the md5 family gets this for
+    # free (unnest of an empty token list produces no signature row),
+    # and the fast/debug families must mirror it — hashing the all-max
+    # sentinel signature would give every token-less doc the SAME band
+    # keys, i.e. one giant junk blocking bucket. Media-only docs pair
+    # via media keys.
     if cfg.debug_keys:
         # readable string keys for diagnostics (md5 band digests)
         @F.pandas_udf("array<string>")
@@ -173,9 +184,9 @@ def _lsh_keys_udf(cfg: BlockConfig):
                             sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
                         )
                     ]
-                    if shingle_set
+                    if not empty
                     else []
-                    for sig, shingle_set in zip(sigs, shingles)
+                    for sig, empty in zip(sigs, _no_band_mask(tokens))
                 ]
             )
 
@@ -191,7 +202,10 @@ def _lsh_keys_udf(cfg: BlockConfig):
         )
         bh = band_hashes(sigs, cfg.lsh_bands, cfg.rows_per_band)
         return pd.Series(
-            [keys.tolist() if text else [] for keys, text in zip(bh, texts)]
+            [
+                [] if empty else keys.tolist()
+                for keys, empty in zip(bh, _no_band_mask(tokens))
+            ]
         )
 
     return lsh_keys_fast
@@ -303,6 +317,36 @@ def candidate_pairs(
     keys = blocking_keys(doc_norm, cfg).persist()
     if persisted_out is not None:
         persisted_out.append(keys)
+    raw, key_metrics = expand_key_pairs(keys, cfg, persisted_out)
+    if (
+        score_cfg is not None
+        and getattr(score_cfg, "cascade", False)
+        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
+    ):
+        from chameleon_entity_linking_spark.operators.score import (
+            sketch_prefilter,
+        )
+
+        raw = sketch_prefilter(raw, doc_norm, score_cfg)
+    pairs = raw.dropDuplicates(["doc_a", "doc_b"])
+    return pairs, key_metrics
+
+
+def expand_key_pairs(
+    keys: DataFrame,
+    cfg: BlockConfig,
+    persisted_out: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, key) -> (raw canonical pairs, key_metrics).
+
+    The count-classified grouped expansion + salted-triangle core of
+    :func:`candidate_pairs`, factored out so the cross-run incremental
+    path (operators/incremental_er.py) can run the identical skew
+    discipline over a restricted key table. Output pairs are
+    canonical (doc_a < doc_b) but NOT deduplicated across keys —
+    callers dedup after any fused prefilter.
+    """
+    spark = keys.sparkSession
     cap = cfg.hot_key_cap
     ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
     # pass 1: per-key member counts. Fully map-side combinable — the
@@ -337,7 +381,6 @@ def candidate_pairs(
     # (measured: one 43s CPU straggler vs a 3s median). A round-robin
     # spread of the small grouped rows balances expansion work
     # statistically across the cluster.
-    spark = doc_norm.sparkSession
     grouped = (
         keys.join(
             counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
@@ -406,16 +449,4 @@ def candidate_pairs(
         )
     )
 
-    raw = pairs_normal.unionByName(pairs_hot)
-    if (
-        score_cfg is not None
-        and getattr(score_cfg, "cascade", False)
-        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
-    ):
-        from chameleon_entity_linking_spark.operators.score import (
-            sketch_prefilter,
-        )
-
-        raw = sketch_prefilter(raw, doc_norm, score_cfg)
-    pairs = raw.dropDuplicates(["doc_a", "doc_b"])
-    return pairs, key_metrics
+    return pairs_normal.unionByName(pairs_hot), key_metrics

@@ -28,13 +28,32 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Edge-count bound for the driver-side contraction epilogue (see
+# Ceiling for the driver-side contraction epilogue (see
 # connected_components): 10M edges ~= 500MB of ids on the driver —
 # the same order as what a large broadcast join already ships through
-# the driver, and a ~3s vectorized contraction. Raise/lower per
-# deployment (driver memory is the real constraint; the ER edge set
-# is ~matches, orders of magnitude below the raw pair stream).
+# the driver, and a ~3s vectorized contraction. The *effective* bound
+# is derived per session from spark.driver.memory (see
+# ``_driver_contract_bound``): a caller on Spark's stock 1g driver
+# gets ~400k edges, not 10M — external callers never inherit a bound
+# this repo's 24g driver default was sized for.
 DRIVER_FINISH_MAX_EDGES = 10_000_000
+# edges admitted per MB of driver heap: 10M edges for a 24g driver
+# (~500MB of ids ~= 2% of heap) -> ~410 edges/MB (so the repo's 24g
+# default reaches the full ceiling; a 1g driver gets ~420k)
+_EDGES_PER_DRIVER_MB = 410
+
+
+def _driver_contract_bound(spark) -> int:
+    """Driver-memory-aware contraction bound: min(ceiling, 400 edges
+    per MB of spark.driver.memory). Unparseable/unset memory falls
+    back to Spark's 1g default -> a conservative ~400k-edge bound."""
+    mem = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    units = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    try:
+        mb = float(mem[:-1]) * units[mem[-1]] if mem[-1] in units else float(mem) / (1 << 20)
+    except (ValueError, IndexError):
+        mb = 1024.0
+    return min(DRIVER_FINISH_MAX_EDGES, int(mb * _EDGES_PER_DRIVER_MB))
 
 
 def _dedup(e: DataFrame) -> DataFrame:
@@ -178,7 +197,7 @@ def _driver_contract(e: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,
-    driver_finish_max_edges: int = DRIVER_FINISH_MAX_EDGES,
+    driver_finish_max_edges: int | None = None,
 ) -> DataFrame:
     """edges(doc_a, doc_b) -> assignments(doc_id, cluster_id).
 
@@ -187,14 +206,21 @@ def connected_components(
     left join + coalesce (see pipeline.assign_clusters).
 
     Size-adaptive: alternating large-star/small-star rounds while the
-    observed edge set exceeds ``driver_finish_max_edges``; below the
-    bound, one vectorized driver contraction replaces the remaining
-    rounds (identical output — both compute min-id components). Set
-    ``driver_finish_max_edges=0`` to force the fully distributed path.
+    observed edge set exceeds the contraction bound; below it, one
+    vectorized driver contraction replaces the remaining rounds
+    (identical output — both compute min-id components). The bound
+    defaults to ``min(DRIVER_FINISH_MAX_EDGES, ~400 edges per MB of
+    spark.driver.memory)`` — the epilogue collects edge ids onto the
+    driver, so driver heap is the real constraint (a stock 1g driver
+    gets ~400k edges, this repo's 24g default the full 10M). Pass
+    ``driver_finish_max_edges=0`` to force the fully distributed
+    path, or an explicit edge count to override the derivation.
     """
     e = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    if driver_finish_max_edges is None:
+        driver_finish_max_edges = _driver_contract_bound(edges.sparkSession)
     e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
     if prev_fp[0] <= driver_finish_max_edges:
         return _driver_contract(e)

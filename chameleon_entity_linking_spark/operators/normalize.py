@@ -41,6 +41,7 @@ NORM_COLUMNS = [
     "media_h",
     "embedding",
     "emb_q",
+    "emb_sig",
 ]
 
 
@@ -127,6 +128,20 @@ def normalize(
             F.transform(
                 "embedding",
                 lambda x: F.round(x * 127).cast("byte"),
+            ),
+        )
+        # 64-bit SIGN sketch (bit i set iff component i < 0): the
+        # 8-byte SimHash of the embedding. The scoring prefilter's
+        # first phase compares pairs with one XOR + popcount on this
+        # long — pure whole-stage-codegen integer ops, no array
+        # allocation per pair (see score.sketch_prefilter; requires
+        # dim <= 64, asserted by the pack). Zero vectors -> 0.
+        .withColumn(
+            "emb_sig",
+            F.expr(
+                "aggregate(zip_with(emb_q, sequence(0, size(emb_q) - 1),"
+                " (x, i) -> IF(x < 0, shiftleft(1L, i), 0L)),"
+                " 0L, (a, b) -> a + b)"
             ),
         )
     )

@@ -74,7 +74,24 @@ class ScoreConfig:
         # with a fixed quantization margin. The bounded-candidates
         # tradeoff of the reference's top-1000 truncation — pinned
         # here, guarded by the F1 >= 0.99 gate in tests. None disables.
-        prefilter_min_cheap: float | None = 0.30,
+        # (Recalibrated with the round-3 vectorized encoder, whose
+        # cosine distribution sits slightly higher than the md5
+        # encoder's: 0.30 -> 0.35 restored the prefilter's selectivity
+        # — measured at 50k entities: surviving pairs 1.04M -> 0.67M
+        # with the edge set within 1 and cluster F1 identical.)
+        prefilter_min_cheap: float | None = 0.35,
+        # phase-0 sign-sketch cut: pairs whose 64-bit embedding sign
+        # sketches differ in more than this many bits (and with no
+        # media-only side) drop before the int8 dot ever runs — one
+        # XOR + popcount per pair on two longs, vs a 64-element array
+        # walk. E[hamming] = 64*theta/pi for random projections, so
+        # cos >= 0.35 (theta <= 69.5 deg) concentrates below ~12.4
+        # bits (sigma ~3.2); the default cut sits ~3.6 sigma above.
+        # Lossy like the cosine cut (a true pair CAN straddle it) —
+        # calibrated on the fixture (50k entities: edges 289001 ->
+        # 289000 of which F1 moved 0), guarded by the same F1 gate.
+        # None disables phase 0 (the dot then sees every raw pair).
+        prefilter_max_hamming: int | None = 24,
         # W5 length-sorted batching (`BiEncoder/model.py:99-100`): sort
         # within partitions by name length before the string-kernel
         # UDFs so each Arrow batch pads to its own (short) max length —
@@ -101,6 +118,7 @@ class ScoreConfig:
         self.max_name_chars = max_name_chars
         self.cascade = cascade
         self.prefilter_min_cheap = prefilter_min_cheap
+        self.prefilter_max_hamming = prefilter_max_hamming
         self.length_sort = length_sort
         self.broadcast_sketch = broadcast_sketch
 
@@ -197,9 +215,19 @@ def _sketch(doc_norm: DataFrame, side: str) -> DataFrame:
 def sketch_prefilter(
     pairs: DataFrame, doc_norm: DataFrame, cfg: ScoreConfig
 ) -> DataFrame:
-    """Phase 1: drop pairs below the cosine prefilter. Scoring uses the
-    same int8 dot, so this phase is *bit-exact* with the prefilter the
-    exact phase re-applies — no margin, no approximation gap.
+    """Drop pairs below the cosine prefilter, in two sketch phases.
+
+    Phase 0 (sign sketch, 9B/side): pairs whose 64-bit embedding
+    SIGN sketches (``emb_sig``) differ in more than
+    ``prefilter_max_hamming`` bits drop on one XOR + popcount — pure
+    whole-stage-codegen integer ops. This is where the bulk of the
+    raw pair stream dies, at a fraction of the per-pair memory
+    traffic of the array dot (the C=8 DRAM-saturation fix: the
+    expansion+prefilter stage's bytes touched per raw pair fall from
+    ~2x64B arrays + interpreted HOF allocations to two longs).
+
+    Phase 1 (int8 dot, survivors only): the exact int8-dot cosine.
+    Scoring re-applies this same cut bit-exactly downstream.
 
     Output carries ``s_cos`` (the int8-dot cosine): the dot is the
     most expensive cheap-phase expression (~16us/pair interpreted
@@ -208,10 +236,55 @@ def sketch_prefilter(
     """
     if cfg.prefilter_min_cheap is None or not cfg.cascade:
         return pairs
-    sa, sb = _sketch(doc_norm, "a"), _sketch(doc_norm, "b")
-    if cfg.broadcast_sketch:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    use_ham = (
+        cfg.prefilter_max_hamming is not None
+        and "emb_sig" in doc_norm.columns
+    )
+    if use_ham:
+        ga = F.broadcast if cfg.broadcast_sketch else (lambda df: df)
+        siga = ga(
+            doc_norm.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("emb_sig").alias("sig_a"),
+                ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
+                    "mediaonly_a"
+                ),
+            )
+        )
+        sigb = ga(
+            doc_norm.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("emb_sig").alias("sig_b"),
+                ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
+                    "mediaonly_b"
+                ),
+            )
+        )
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        pre = (
+            pairs.join(siga, "doc_a")
+            .join(sigb, "doc_b")
+            .where(
+                F.col("mediaonly_a")
+                | F.col("mediaonly_b")
+                | (ham <= F.lit(int(cfg.prefilter_max_hamming)))
+            )
+            .select("doc_a", "doc_b", "mediaonly_a", "mediaonly_b")
+        )
+        qa = doc_norm.select(
+            F.col("doc_id").alias("doc_a"), F.col("emb_q").alias("q_a")
+        )
+        qb = doc_norm.select(
+            F.col("doc_id").alias("doc_b"), F.col("emb_q").alias("q_b")
+        )
+        if cfg.broadcast_sketch:
+            qa, qb = F.broadcast(qa), F.broadcast(qb)
+        joined = pre.join(qa, "doc_a").join(qb, "doc_b")
+    else:
+        sa, sb = _sketch(doc_norm, "a"), _sketch(doc_norm, "b")
+        if cfg.broadcast_sketch:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
     # _eval_once: the dot must be computed once per pair, not
     # re-inlined into both the filter and the output projection
     proj = joined.select(

@@ -1349,6 +1349,119 @@ SELECT cell, vec_id, cosine, rank FROM (
 """
 
 
+def _ann_ivf_search(
+    emb: DataFrame, nprobe: int = 2, topk: int = 3
+) -> DataFrame:
+    """IVF multi-probe search core (parameterized for tests).
+
+    Index build: corpus vecs (vec_id >= 10) are assigned to their
+    nearest centroid cell (centroids = vec_id < 10) — the shuffle-key
+    layout of IVF at scale. Search: each query (corpus vecs with
+    vec_id < 30) probes its ``nprobe`` nearest cells, exact-rescores
+    against every member of the probed cells, and keeps the top
+    ``topk`` by true cosine. nprobe=1 is the recall cliff the
+    reference's exact search (`BiEncoder/test_retrieval.py:72-76`)
+    never has: a neighbor just across a cell boundary is invisible;
+    nprobe >= 2 recovers it (see test_ann_multiprobe_boundary).
+    """
+    cents = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cos_cent = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(cos_cent, 6).alias("ccos")
+    )
+    rnk = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored.withColumn("arn", F.row_number().over(rnk))
+    # index: every corpus vec lives in exactly its nearest cell
+    members = (
+        ranked.where(F.col("arn") == 1)
+        .select(F.col("vec_id").alias("mid"), "cid")
+        .join(corpus.select(F.col("vec_id").alias("mid"), F.col("v").alias("mv")), "mid")
+    )
+    # search: queries probe their nprobe nearest cells
+    probes = (
+        ranked.where((F.col("vec_id") < 30) & (F.col("arn") <= nprobe))
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    qv = corpus.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos_exact = _dot(F.col("qv"), F.col("mv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("mv"), F.col("mv")))
+    )
+    cand = (
+        probes.join(members, "cid")
+        .where(F.col("mid") != F.col("qid"))
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "mid", F.round(cos_exact, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("mid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "mid", "cosine", "rank")
+    )
+
+
+def q_ann_ivf_probe2(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 dense ANN, multi-probe IVF form: nprobe=2 — each query
+    searches its two nearest centroid cells with exact rescoring, so
+    neighbors sitting just across its own cell's boundary are found
+    (single-probe's recall cliff; the reference's IndexFlatL2 is
+    exact and loses nothing at boundaries)."""
+    return _ann_ivf_search(load(spark, sf, "embeddings"), nprobe=2, topk=3)
+
+
+SQL_ANN_IVF_PROBE2 = f"""
+WITH scored AS (
+  SELECT c.vec_id, q.vec_id AS cid,
+         round({_sql_dot('c.embedding', 'q.embedding')}
+               / (sqrt({_sql_dot('c.embedding', 'c.embedding')})
+                  * sqrt({_sql_dot('q.embedding', 'q.embedding')})), 6) AS ccos
+  FROM embeddings c, embeddings q
+  WHERE c.vec_id >= 10 AND q.vec_id < 10
+),
+ranked AS (
+  SELECT vec_id, cid, ccos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid) AS arn
+  FROM scored
+),
+members AS (
+  SELECT r.vec_id AS mid, r.cid, e.embedding AS mv
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.arn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM ranked
+  WHERE vec_id < 30 AND arn <= 2
+),
+cand AS (
+  SELECT p.qid, m.mid,
+         round({_sql_dot('q.embedding', 'm.mv')}
+               / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                  * sqrt({_sql_dot('m.mv', 'm.mv')})), 6) AS cosine
+  FROM probes p
+  JOIN members m ON m.cid = p.cid AND m.mid <> p.qid
+  JOIN embeddings q ON q.vec_id = p.qid
+)
+SELECT qid, mid, cosine, rank FROM (
+  SELECT qid, mid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, mid) AS rank
+  FROM cand
+) WHERE rank <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup scoring on blocked pairs (the
     n-gram member of the dedup family); exact small-int ratios."""
@@ -1427,6 +1540,7 @@ REGISTRY: dict = {
     "embedding_buckets": (q_embedding_buckets, SQL_EMBEDDING_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
 }

@@ -123,7 +123,8 @@ class Pipeline:
         # bump the version term whenever normalize's output schema or
         # semantics change — stale checkpoints must not resume-skip
         # v4: vectorized splitmix64 encoder (xxhash64 token features)
-        norm_fp = _fp({"normalize": 4, "in": in_snap})
+        # v5: emb_sig sign-sketch column (scoring phase-0 prefilter)
+        norm_fp = _fp({"normalize": 5, "in": in_snap})
         doc_norm = self._run_stage(
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )

@@ -152,11 +152,17 @@ class ParquetCatalog:
         # second scan of the data, which at 100 TB would double every
         # stage's read volume) + per-partition lineage (north rule:
         # "per-partition lineage + metrics"): one entry per written
-        # file/partition-dir with its row count. The os.walk footer
-        # scan only sees a LOCAL warehouse; for a remote one
-        # (hdfs://, s3a://, ...) fall back to a metadata-only Spark
-        # count over the footers (parquet count() is footer-driven,
-        # not a data scan) so row_count is never silently zero.
+        # file/partition-dir with its row count.
+        #
+        # NOTE: ParquetCatalog requires a DRIVER-LOCAL warehouse path —
+        # manifest commits go through local open()/os.replace, so an
+        # hdfs://-s3a:// warehouse would write data remotely but
+        # manifests into a literal local directory. Only the row_count
+        # fallback below is remote-safe (a metadata-only Spark count:
+        # parquet count() is footer-driven, not a data scan — one extra
+        # job, never silently zero); for a genuinely remote warehouse
+        # use IcebergCatalog, whose commits go through the table
+        # format's own filesystem layer.
         if os.path.isdir(data_dir):
             partitions = _footer_counts(data_dir)
             row_count = sum(p["rows"] for p in partitions)

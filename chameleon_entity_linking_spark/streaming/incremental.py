@@ -22,6 +22,8 @@ bounds micro-batch size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,12 +78,25 @@ def start_incremental_normalize(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
+    # Stream-incarnation identity for the idempotence guard: batch ids
+    # are only monotonic per CHECKPOINT — reusing a warehouse with a
+    # fresh checkpoint restarts them at 0, which would make a
+    # batch_id-only guard spuriously true and silently skip commits
+    # (including dead-letter rows). Committing the checkpoint path in
+    # lineage and requiring it to match pins the guard to this stream;
+    # a different incarnation falls back to replay (append-mode
+    # at-least-once, never silent loss).
+    stream_id = os.path.abspath(checkpoint_dir)
 
     def _committed(table: str, batch_id: int) -> bool:
         snap = (
             catalog.current_snapshot(table) if catalog.exists(table) else None
         )
-        return snap is not None and snap.lineage.get("batch_id", -1) >= batch_id
+        return (
+            snap is not None
+            and snap.lineage.get("stream_id") == stream_id
+            and snap.lineage.get("batch_id", -1) >= batch_id
+        )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         # idempotence ACROSS restarts: foreachBatch is at-least-once —
@@ -111,14 +126,22 @@ def start_incremental_normalize(
                 "errors",
                 dead.withColumn("batch_id", F.lit(batch_id)),
                 mode="append",
-                lineage={"stage": "dead_letter", "batch_id": batch_id},
+                lineage={
+                    "stage": "dead_letter",
+                    "batch_id": batch_id,
+                    "stream_id": stream_id,
+                },
             )
         if not norm_done:
             catalog.write(
                 "doc_norm_stream",
                 normalize(valid),
                 mode="append",
-                lineage={"stage": "stream_normalize", "batch_id": batch_id},
+                lineage={
+                    "stage": "stream_normalize",
+                    "batch_id": batch_id,
+                    "stream_id": stream_id,
+                },
                 metrics={"batch_id": batch_id},
             )
 

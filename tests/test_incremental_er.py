@@ -1,0 +1,317 @@
+"""Cross-run incremental ER: new batch vs committed corpus.
+
+Covers operators/incremental_er.py — the delta-only candidate path,
+affected-component-only cluster merge, and the catalog-integrated
+two-batch flow (the pipeline-level analogue of the reference's
+resumable --start_index cursor, utils/entity_extractor.py:12,51).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.block import (
+    BlockConfig,
+    blocking_keys,
+    candidate_pairs,
+)
+from chameleon_entity_linking_spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+from chameleon_entity_linking_spark.operators.incremental_er import (
+    incremental_er_update,
+    merge_clusters,
+)
+from chameleon_entity_linking_spark.operators.normalize import normalize
+from chameleon_entity_linking_spark.operators.score import (
+    ScoreConfig,
+    edges_above_threshold,
+    score_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                doc_id,
+                [("text", text, "", 0)]
+                + ([("image", "", media, 1)] if media else []),
+            )
+            for doc_id, text, media in rows
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+BLOCK_CFG = BlockConfig(debug_keys=True)
+SCORE_CFG = ScoreConfig(threshold=0.8, prefilter_min_cheap=None)
+
+BATCH1 = [
+    ("a1", "alpha beta gamma delta", ""),
+    ("a2", "alpha beta gamma delte", ""),  # near-dup of a1
+    ("b1", "epsilon zeta eta theta", ""),
+    ("c1", "", "m1"),  # media-only doc (judged purely on media)
+]
+BATCH2 = [
+    ("a3", "alpha beta gamma delta", ""),  # joins a1/a2's cluster
+    ("b2", "epsilon zeta eta thete", ""),  # joins b1's cluster
+    ("d1", "nothing like anything else", ""),  # singleton
+    ("c2", "", "m1"),  # media-only: joins c1 on exact media overlap
+]
+
+
+def _full_run(spark, rows):
+    docs = _docs(spark, rows)
+    norm = normalize(docs, repartition=False)
+    pairs, _ = candidate_pairs(norm, BLOCK_CFG, score_cfg=SCORE_CFG)
+    edges = edges_above_threshold(
+        score_pairs(pairs, norm, SCORE_CFG), SCORE_CFG
+    )
+    return assign_clusters(docs, connected_components(edges))
+
+
+def _incremental_run(spark):
+    docs1 = _docs(spark, BATCH1)
+    norm1 = normalize(docs1, repartition=False)
+    pairs1, _ = candidate_pairs(norm1, BLOCK_CFG, score_cfg=SCORE_CFG)
+    edges1 = edges_above_threshold(
+        score_pairs(pairs1, norm1, SCORE_CFG), SCORE_CFG
+    )
+    assign1 = assign_clusters(docs1, connected_components(edges1))
+    new_edges, merged = incremental_er_update(
+        _docs(spark, BATCH2),
+        norm1,
+        blocking_keys(norm1, BLOCK_CFG),
+        assign1,
+        BLOCK_CFG,
+        SCORE_CFG,
+    )
+    return new_edges, merged
+
+
+class TestIncrementalER:
+    def test_matches_full_rerun(self, spark):
+        """On a fixture whose keys stay under every cap in both
+        phases, the incremental merge must equal a from-scratch run
+        over the union corpus — same components, same min-id labels."""
+        _, merged = _incremental_run(spark)
+        full = _full_run(spark, BATCH1 + BATCH2)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_batch2_docs_join_batch1_clusters(self, spark):
+        _, merged = _incremental_run(spark)
+        got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        # a3 joins the a1-a2 cluster; b2 joins b1; c2 media-joins c1
+        assert got["a3"] == got["a1"] == got["a2"]
+        assert got["b2"] == got["b1"]
+        assert got["c2"] == got["c1"]
+        # d1 stays a singleton
+        assert got["d1"] == "d1"
+
+    def test_new_edges_have_new_endpoint(self, spark):
+        new_edges, _ = _incremental_run(spark)
+        batch2 = {d for d, _, _ in BATCH2}
+        for r in new_edges.collect():
+            assert r["doc_a"] in batch2 or r["doc_b"] in batch2
+
+    def test_unaffected_clusters_keep_ids(self, spark):
+        """A committed cluster untouched by any new edge keeps its id
+        without re-clustering (merge path reads it from the committed
+        assignment, not from a CC recomputation)."""
+        docs1 = _docs(spark, BATCH1)
+        assign1 = _full_run(spark, BATCH1)
+        # a batch with no links to batch 1 at all
+        lone = _docs(spark, [("z9", "zzz yyy xxx www", "")])
+        new_edges, merged = incremental_er_update(
+            lone,
+            normalize(docs1, repartition=False),
+            blocking_keys(normalize(docs1, repartition=False), BLOCK_CFG),
+            assign1,
+            BLOCK_CFG,
+            SCORE_CFG,
+        )
+        assert new_edges.count() == 0
+        before = {r["doc_id"]: r["cluster_id"] for r in assign1.collect()}
+        after = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        for d, cid in before.items():
+            assert after[d] == cid
+        assert after["z9"] == "z9"
+
+    def test_merge_bridges_two_committed_clusters(self, spark):
+        """A new doc linking members of two distinct committed
+        clusters merges them under the global min id."""
+        assignments = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("x", "x"), ("y", "x"), ("q", "q")],
+            "doc_id string, cluster_id string",
+        )
+        new_edges = spark.createDataFrame(
+            [("b", "n1"), ("n1", "x")], "doc_a string, doc_b string"
+        )
+        all_docs = assignments.select("doc_id").unionByName(
+            spark.createDataFrame([("n1",)], "doc_id string")
+        )
+        merged = merge_clusters(assignments, new_edges, all_docs)
+        got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        assert (
+            got["a"] == got["b"] == got["x"] == got["y"] == got["n1"] == "a"
+        )
+        assert got["q"] == "q"  # unaffected
+
+    def test_catalog_integrated_flow(self, spark, tmp_path):
+        """Two batches through a warehouse: commit run 1's tables,
+        run the incremental step from the catalog, commit the merge —
+        edges append, assignments overwrite, lineage carries stage."""
+        from chameleon_entity_linking_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        catalog = ParquetCatalog(str(tmp_path / "wh"))
+        docs1 = _docs(spark, BATCH1)
+        norm1 = normalize(docs1, repartition=False)
+        pairs1, _ = candidate_pairs(norm1, BLOCK_CFG, score_cfg=SCORE_CFG)
+        edges1 = edges_above_threshold(
+            score_pairs(pairs1, norm1, SCORE_CFG), SCORE_CFG
+        )
+        assign1 = assign_clusters(docs1, connected_components(edges1))
+        catalog.write("doc_norm", norm1, lineage={"stage": "normalize"})
+        catalog.write(
+            "block_keys",
+            blocking_keys(norm1, BLOCK_CFG),
+            lineage={"stage": "block"},
+        )
+        catalog.write("edges", edges1, lineage={"stage": "score"})
+        catalog.write("clusters", assign1, lineage={"stage": "cluster"})
+
+        new_edges, merged = incremental_er_update(
+            _docs(spark, BATCH2),
+            catalog.read(spark, "doc_norm"),
+            catalog.read(spark, "block_keys"),
+            catalog.read(spark, "clusters"),
+            BLOCK_CFG,
+            SCORE_CFG,
+        )
+        catalog.write(
+            "edges",
+            new_edges,
+            mode="append",
+            lineage={"stage": "incremental_score"},
+        )
+        catalog.write(
+            "clusters", merged, lineage={"stage": "incremental_cluster"}
+        )
+        # the merged edge table is the union of both runs' edges
+        total = catalog.read(spark, "edges")
+        assert total.count() == edges1.count() + new_edges.count()
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in catalog.read(spark, "clusters").collect()
+        }
+        assert got["a3"] == got["a1"]
+        assert catalog.current_snapshot("clusters").lineage["stage"] == (
+            "incremental_cluster"
+        )
+
+
+class TestAnnMultiProbe:
+    def test_boundary_vector_recovered_at_nprobe2(self, spark):
+        """A query's true nearest neighbor sits just across its own
+        cell's boundary: single-probe IVF misses it (the recall
+        cliff), nprobe=2 recovers it with exact rescoring."""
+        from chameleon_entity_linking_spark.plans.driver_queries import (
+            _ann_ivf_search,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),  # centroid c0
+                (1, [0.0, 1.0]),  # centroid c1
+                (10, [0.72, 0.69]),  # query: cell c0
+                (11, [0.69, 0.72]),  # its true NN: cell c1 (boundary!)
+                (12, [1.0, -0.1]),  # filler member of c0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        one = {
+            (r["qid"], r["rank"]): r["mid"]
+            for r in _ann_ivf_search(emb, nprobe=1, topk=1).collect()
+        }
+        two = {
+            (r["qid"], r["rank"]): r["mid"]
+            for r in _ann_ivf_search(emb, nprobe=2, topk=1).collect()
+        }
+        assert one[(10, 1)] == 12  # nearest-cell-only: boundary NN missed
+        assert two[(10, 1)] == 11  # multi-probe: exact NN found
+
+
+class TestDriverContractBound:
+    def test_bound_scales_with_driver_memory(self, spark):
+        from chameleon_entity_linking_spark.operators.cluster import (
+            DRIVER_FINISH_MAX_EDGES,
+            _driver_contract_bound,
+        )
+
+        bound = _driver_contract_bound(spark)
+        assert 0 < bound <= DRIVER_FINISH_MAX_EDGES
+        # this repo's sessions run a 24g driver -> the full ceiling
+        if spark.conf.get("spark.driver.memory", "1g") == "24g":
+            assert bound == DRIVER_FINISH_MAX_EDGES
+
+
+class TestStreamIdGuard:
+    def test_fresh_checkpoint_replays_instead_of_skipping(
+        self, spark, tmp_path
+    ):
+        """Reusing a warehouse with a NEW stream checkpoint restarts
+        batch ids at 0 — the guard must fall back to replay (append),
+        not silently skip the new stream's commits (ADVICE r3)."""
+        import pyspark.sql.functions as SF
+
+        from chameleon_entity_linking_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+        from chameleon_entity_linking_spark.sources.synth import (
+            SynthConfig,
+            synth_tables,
+        )
+        from chameleon_entity_linking_spark.streaming.incremental import (
+            start_incremental_normalize,
+        )
+
+        docs = synth_tables(spark, SynthConfig(n_entities=30, seed=11))[
+            "documents"
+        ]
+        in_dir = str(tmp_path / "in")
+        docs.limit(40).write.parquet(in_dir)
+        wh = str(tmp_path / "wh")
+
+        q1 = start_incremental_normalize(
+            spark, in_dir, wh, str(tmp_path / "ckpt1")
+        )
+        q1.awaitTermination()
+        catalog = ParquetCatalog(wh)
+        n1 = catalog.current_snapshot("doc_norm_stream").row_count
+        assert n1 > 0
+
+        # same warehouse, FRESH checkpoint: batch ids restart at 0;
+        # with the old batch_id-only guard this silently skipped
+        q2 = start_incremental_normalize(
+            spark, in_dir, wh, str(tmp_path / "ckpt2")
+        )
+        q2.awaitTermination()
+        snap = catalog.current_snapshot("doc_norm_stream")
+        assert snap.lineage["stream_id"].endswith("ckpt2")
+        # replayed as a new append snapshot, not skipped (snapshot
+        # row_count is per-commit; the table total doubles)
+        assert catalog.read(spark, "doc_norm_stream").count() == 2 * n1
+        # and re-running the SAME checkpoint stays idempotent
+        q3 = start_incremental_normalize(
+            spark, in_dir, wh, str(tmp_path / "ckpt2")
+        )
+        q3.awaitTermination()
+        assert catalog.read(spark, "doc_norm_stream").count() == 2 * n1

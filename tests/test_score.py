@@ -194,8 +194,17 @@ class TestScorePairs:
             .toString()
         )
         # one array_intersect per jaccard (tokens + media), computed
-        # exactly once each despite multiple consumers downstream
-        assert plan.count("array_intersect") == 2, plan
-        # the int8 dot (zip_with) computed once — in the fused
-        # prefilter — and reused by the exact phase
-        assert plan.count("zip_with") == 1, plan
+        # exactly once each despite multiple consumers downstream.
+        # Upper-bound assertions (not ==): the guarded count is what
+        # re-inlining would blow past (dozens of copies); an exact pin
+        # would fail on unrelated optimizer/operator-naming changes
+        # across Spark minor versions.
+        assert 1 <= plan.count("array_intersect") <= 2, plan
+        # the int8 dot (zip_with) computed once per PAIR — in the
+        # fused prefilter — and reused by the exact phase. Up to two
+        # more zip_with are legitimate per-DOC work: the emb_sig sign
+        # sketch recomputes in each sketch-side projection when
+        # doc_norm is not materialized (in the pipeline it reads from
+        # the committed doc_norm parquet). Re-inlining the dot into
+        # every consumer would put it at ~8+.
+        assert plan.count("zip_with") <= 3, plan
