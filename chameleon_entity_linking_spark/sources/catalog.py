@@ -46,21 +46,29 @@ def _footer_counts(data_dir: str) -> list[dict[str, Any]]:
     records per-partition lineage without any data re-scan — footer
     reads are O(files), not O(rows).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out: list[dict[str, Any]] = []
+    paths: list[str] = []
     for root, _dirs, files in os.walk(data_dir):
         for f in sorted(files):
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            out.append(
-                {
-                    "path": os.path.relpath(full, data_dir),
-                    "rows": pq.ParquetFile(full).metadata.num_rows,
-                }
-            )
-    return out
+            if f.endswith(".parquet"):
+                paths.append(os.path.join(root, f))
+
+    def _one(full: str) -> dict[str, Any]:
+        return {
+            "path": os.path.relpath(full, data_dir),
+            "rows": pq.ParquetFile(full).metadata.num_rows,
+        }
+
+    # footer reads are tiny independent IO ops; a thread pool keeps
+    # the commit's driver-side latency flat in the file count (the
+    # serial form charged ~file_count x open latency to every commit)
+    if len(paths) <= 4:
+        return [_one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(_one, paths))
 
 
 @dataclass
