@@ -352,6 +352,10 @@ def default_main() -> int:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": pipe["docs_per_sec"],
         "n_docs": pipe["n_docs"],
+        # pair volume surviving the fused prefilter — the blocking
+        # selectivity this round's numbers were achieved at (regression
+        # tripwire: r3's +10s block stage was a silent +8% here)
+        "n_pairs": pipe["n_pairs"],
         "f1": pipe["f1"],
         "cores": CPUS,
         "stage_sec": pipe["stage_sec"],
