@@ -279,28 +279,33 @@ def scaling_main(entities: int, reps: int = 2, exec_cores: int = 8) -> int:
         "",
         "## What limits efficiency in this sandbox (measured, not guessed)",
         "",
-        "All executors are JVMs on ONE 32-core single-socket box. Round-3",
-        "eventlog task metrics isolate the residual after the round-2/3",
-        "fixes (CC driver rounds eliminated via the observed-size driver",
-        "contraction; inter-job gaps now ~8-11s total across ~50 jobs):",
+        "All executors are JVMs on ONE 32-core single-socket box. The",
+        ">= 0.8 target is MET at the bandwidth-headroom width on the",
+        "larger corpus (1.75M docs, 1x4 vs 4x4). The other rows tell the",
+        "residual story:",
         "",
-        "- **CPU-time inflation under full-box load, not scheduling, is",
-        "  the dominant loss at C=8.** The same stages' summed executor",
-        "  CPU time grows when 32 cores are active vs 8: pair",
-        "  expansion+prefilter 663s -> 1017s (1.53x), exact cheap scoring",
-        "  87s -> 213s (2.4x), zero shuffle fetch-wait. That is",
-        "  single-socket memory-bandwidth/LLC contention: interpreted",
-        "  array expressions and shuffle (de)serialization are",
-        "  allocation-heavy, and the 4N leg saturates one socket's DRAM.",
-        "  A real 4-node fleet adds a memory subsystem per node, so this",
-        "  inflation is a sandbox artifact, not a plan property.",
-        "- The C=4 rows exist to show executor scaling with bandwidth",
-        "  headroom: 1x4 vs 4x4 uses at most half the box, so the 4N leg",
-        "  runs at per-core memory bandwidth comparable to the N leg —",
-        "  the honest in-sandbox proxy for nodes-bring-their-own-DRAM.",
-        "- Remaining fixed seconds (identical at both legs): the bounded",
-        "  driver contraction that finishes CC (~2s), catalog commits,",
-        "  and AQE stage re-planning pauses.",
+        "- **C=8 rows: single-socket DRAM/LLC saturation.** The 4x8 leg",
+        "  puts 32 active cores on one memory subsystem; round-3 eventlog",
+        "  task metrics showed hot-stage executor CPU TIME inflating",
+        "  1.5-2.4x with zero shuffle fetch-wait. Round 4 halved the",
+        "  bytes touched per raw pair (sign-sketch phase-0 prefilter:",
+        "  794 -> 388 task-sec on the expansion stage), which lifted",
+        "  absolute C=8 throughput ~1.6x — but 4x4 vs 4x8 wall at 1.75M",
+        "  (118.2s vs 112.1s) shows the saturated regime remains: a",
+        "  real 4-node fleet adds a memory subsystem per node, so C=4",
+        "  legs are the honest in-sandbox proxy for executor scaling.",
+        "- **Small-corpus rows: fixed-seconds amortization.** Round 4",
+        "  made every leg 1.7-2x faster at the same plans, so the",
+        "  width-invariant residual (AQE inter-stage re-plan pauses,",
+        "  CC convergence checkpoint + bounded driver contraction,",
+        "  catalog commits — ~8-12s total) is a LARGER share of the",
+        "  shorter 700k runs: its C=4 efficiency fell 0.785 -> 0.66",
+        "  while its wall time fell 83 -> 58s. The size trend (0.66 at",
+        "  700k -> 0.828 at 1.75M, same binary) is the evidence that",
+        "  the plans scale and the residual is per-run constants.",
+        "- An AQE-off A/B at the 700k 4x4 leg measured WORSE (60.8s vs",
+        "  57.8s): the re-plan pauses cost less than runtime coalescing",
+        "  and join re-picks buy, so AQE stays on.",
         "",
         "Plan-level scaling controls verified along the way: explicit",
         "row-based repartition before every pandas-UDF stage and before the",
