@@ -165,20 +165,25 @@ def minhash_fast_from_texts(
 
 
 def band_hashes(
-    sigs: np.ndarray, n_bands: int, rows_per_band: int
+    sigs: np.ndarray, n_bands: int, rows_per_band: int, lane_offset: int = 0
 ) -> np.ndarray:
     """(n_docs, n_bands) int64 LSH band keys, fully vectorized.
 
     Each band's ``rows_per_band`` signature values are folded with a
     splitmix64 chain; the band index is mixed in so band i and band j
     never share keys (the vector analogue of the ``b{i}:`` prefix).
+    ``lane_offset`` shifts the band indices so a SECOND band family
+    over the same signature (different rows_per_band) cannot collide
+    with the first one's lanes.
     """
     n_docs = sigs.shape[0]
     bands = sigs.reshape(n_docs, n_bands, rows_per_band)
     with np.errstate(over="ignore"):
         # seed each band lane with its index (family separation)
         acc = _splitmix64(
-            np.arange(1, n_bands + 1, dtype=_U64)[None, :]
+            np.arange(
+                lane_offset + 1, lane_offset + n_bands + 1, dtype=_U64
+            )[None, :]
             * _U64(0x9E3779B97F4A7C15)
         )
         acc = np.broadcast_to(acc, (n_docs, n_bands)).copy()

@@ -93,6 +93,21 @@ class BlockConfig:
         # oracle-checked end-to-end (see __spark_entry__'s
         # er_pipeline_clusters).
         lsh_family: str = "fast",
+        # optional SECOND band family over the same fast-family
+        # signature: fewer, LONGER bands (rows2 = lsh_hashes //
+        # lsh2_bands > rows_per_band) — a high-PRECISION recall route
+        # for documents whose every short-band bucket is
+        # stopword-grade. A doc made entirely of corpus-common
+        # shingles shares its 4-row bands with O(corpus) others (the
+        # bucket hits the count ceiling and is dropped), but an 8-row
+        # band collides only at J^8 — near-exact duplicates (J >= .9)
+        # still meet, while the common-profile crowd scatters.
+        # Measured on the sf0.1 driver corpus: dup-pair recall
+        # 0.951 -> ~1.0 with lsh2_bands=8 at ceiling 2048. Signatures
+        # are reused, so the extra cost is one more vectorized band
+        # fold + lsh2_bands keys/doc. None disables (default);
+        # fast family only.
+        lsh2_bands: int | None = None,
         # diagnostics: keep the human-readable key strings through the
         # shuffle + in key_metrics (default hashes them to 64-bit ints
         # for shuffle compactness; a 64-bit collision, P ~ 1e-7 at
@@ -113,6 +128,10 @@ class BlockConfig:
         self.use_media_keys = use_media_keys
         assert lsh_family in ("fast", "md5_tokens")
         self.lsh_family = lsh_family
+        if lsh2_bands is not None:
+            assert lsh_family == "fast", "lsh2 rides the fast signature"
+            assert lsh_hashes % lsh2_bands == 0
+        self.lsh2_bands = lsh2_bands
         self.debug_keys = debug_keys
 
     def fingerprint(self) -> dict:
@@ -196,11 +215,29 @@ def _lsh_keys_udf(cfg: BlockConfig):
     # no md5, no string building; keys leave the UDF as int64
     @F.pandas_udf("array<long>")
     def lsh_keys_fast(tokens: pd.Series) -> pd.Series:
+        import numpy as np
+
         texts = [" ".join(t) for t in tokens]
         sigs = minhash_fast_from_texts(
             texts, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
         )
         bh = band_hashes(sigs, cfg.lsh_bands, cfg.rows_per_band)
+        if cfg.lsh2_bands:
+            # second, longer-band family over the SAME signature (see
+            # BlockConfig.lsh2_bands); lane offset keeps families
+            # key-disjoint
+            bh = np.concatenate(
+                [
+                    bh,
+                    band_hashes(
+                        sigs,
+                        cfg.lsh2_bands,
+                        cfg.lsh_hashes // cfg.lsh2_bands,
+                        lane_offset=cfg.lsh_bands,
+                    ),
+                ],
+                axis=1,
+            )
         return pd.Series(
             [
                 [] if empty else keys.tolist()
@@ -381,13 +418,25 @@ def expand_key_pairs(
     # (measured: one 43s CPU straggler vs a 3s median). A round-robin
     # spread of the small grouped rows balances expansion work
     # statistically across the cluster.
+    # bucket-level dedup BEFORE expansion: correlated key families
+    # (e.g. a duplicate group colliding on every band of two LSH
+    # families + a media key) produce many keys with the IDENTICAL
+    # member set — expanding each would emit the same C(n,2) pairs
+    # once per key, multiplying the dominant stage's volume by the
+    # key multiplicity (measured on the sf0.1 driver corpus: ~2x
+    # wall on the flagship config). One dropDuplicates on the sorted
+    # member array collapses them; the final pair output is identical
+    # (cross-key pair dedup happens downstream anyway), this just
+    # stops computing it in multiplicate. The shuffle is of the
+    # SMALL grouped table (rows bounded by the ceiling).
     grouped = (
         keys.join(
             counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
             "key",
         )
         .groupBy("key")
-        .agg(F.collect_list("doc_id").alias("docs"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .dropDuplicates(["docs"])
         .withColumn("n_docs", F.size("docs"))
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
