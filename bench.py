@@ -279,10 +279,13 @@ def scaling_main(entities: int, reps: int = 2, exec_cores: int = 8) -> int:
         "",
         "## What limits efficiency in this sandbox (measured, not guessed)",
         "",
-        "All executors are JVMs on ONE 32-core single-socket box. The",
-        ">= 0.8 target is MET at the bandwidth-headroom width on the",
-        "larger corpus (1.75M docs, 1x4 vs 4x4). The other rows tell the",
-        "residual story:",
+        "All executors are JVMs on ONE 32-core single-socket box. At the",
+        "bandwidth-headroom width on the larger corpus (1.75M docs, 1x4",
+        "vs 4x4) the >= 0.8 target was measured met once and missed",
+        "twice across sessions: 0.828 / 0.758 / 0.724 — the 4N leg is",
+        "stable, the N leg swings ~14% run-to-run and the ratio inherits",
+        "it (full band + C=4 eventlog attribution: BASELINE.md). The",
+        "other rows tell the residual story:",
         "",
         "- **C=8 rows: single-socket DRAM/LLC saturation.** The 4x8 leg",
         "  puts 32 active cores on one memory subsystem; round-3 eventlog",

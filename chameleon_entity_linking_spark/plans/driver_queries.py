@@ -994,6 +994,58 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """G1 k-hop frontier BFS (graph.k_hop_expand): minimal hop
+    distance from seed docs (doc_id < 3) over the same trigram-key
+    edge set as `connected_components`, k = 3 — the distributed
+    frontier-join reachability the reference realizes with in-memory
+    BFS (`utils/entity_expander.py:80-103`). Oracle: bounded
+    recursive-CTE BFS with min-hop selection."""
+    from chameleon_entity_linking_spark.operators.graph import k_hop_expand
+
+    pairs = q_trigram_blocking_pairs(spark, sf).where(
+        F.col("n_shared_keys") >= 3
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # seeds = the 3 numerically-smallest LEFT endpoints of the edge
+    # set, so the BFS genuinely expands (arbitrary fixed doc ids can
+    # be isolated vertices at small scale factors)
+    seeds = (
+        pairs.select(F.col("doc_a").cast("long").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .select(F.col("d").cast("string").alias("node"))
+    )
+    out = k_hop_expand(edges, seeds, k=3)
+    return out.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+SQL_KHOP_REACH = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_TRIGRAM_PAIRS}) WHERE n_shared_keys >= 3
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT doc_a::BIGINT::VARCHAR AS node FROM pairs
+  ORDER BY doc_a::BIGINT LIMIT 3
+),
+bfs AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT s.b, bfs.hop + 1 FROM bfs JOIN sym s ON s.a = bfs.node
+  WHERE bfs.hop < 3
+)
+SELECT node, min(hop)::INT AS hop FROM bfs GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search over `embeddings` (ANN family)
 # --------------------------------------------------------------------------
@@ -1534,6 +1586,7 @@ REGISTRY: dict = {
     "minhash_near_dup_pairs": (q_minhash_near_dup_pairs, _sql_minhash_near_dup()),
     "simhash": (q_simhash, SQL_SIMHASH),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "khop_reach": (q_khop_reach, SQL_KHOP_REACH),
     "pair_string_scores": (q_pair_string_scores, SQL_PAIR_STRING_SCORES),
     "limit_sample": (q_limit_sample, SQL_LIMIT_SAMPLE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
