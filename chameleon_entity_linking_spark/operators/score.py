@@ -74,24 +74,24 @@ class ScoreConfig:
         # with a fixed quantization margin. The bounded-candidates
         # tradeoff of the reference's top-1000 truncation — pinned
         # here, guarded by the F1 >= 0.99 gate in tests. None disables.
-        # (Recalibrated with the round-3 vectorized encoder, whose
-        # cosine distribution sits slightly higher than the md5
-        # encoder's: 0.30 -> 0.35 restored the prefilter's selectivity
-        # — measured at 50k entities: surviving pairs 1.04M -> 0.67M
-        # with the edge set within 1 and cluster F1 identical.)
-        prefilter_min_cheap: float | None = 0.35,
+        # (Recalibrated twice in round 4 for the vectorized encoder's
+        # cosine distribution: the r2-era 0.30 passed +8% junk; the
+        # calibration sweep at 100k entities found the edge set and
+        # cluster F1 flat all the way to 0.50 — pinned one notch
+        # conservative at 0.45: surviving pairs 1.42M -> 0.65M,
+        # edges within 0.01%, F1 identical 0.99953.)
+        prefilter_min_cheap: float | None = 0.45,
         # phase-0 sign-sketch cut: pairs whose 64-bit embedding sign
         # sketches differ in more than this many bits (and with no
         # media-only side) drop before the int8 dot ever runs — one
         # XOR + popcount per pair on two longs, vs a 64-element array
         # walk. E[hamming] = 64*theta/pi for random projections, so
-        # cos >= 0.35 (theta <= 69.5 deg) concentrates below ~12.4
-        # bits (sigma ~3.2); the default cut sits ~3.6 sigma above.
+        # cos >= 0.45 (theta <= 63.3 deg) concentrates below ~11.2
+        # bits (sigma ~3.1); the default cut sits ~3 sigma above.
         # Lossy like the cosine cut (a true pair CAN straddle it) —
-        # calibrated on the fixture (50k entities: edges 289001 ->
-        # 289000 of which F1 moved 0), guarded by the same F1 gate.
-        # None disables phase 0 (the dot then sees every raw pair).
-        prefilter_max_hamming: int | None = 24,
+        # calibrated with the sweep above, guarded by the same F1
+        # gate. None disables phase 0 (the dot sees every raw pair).
+        prefilter_max_hamming: int | None = 21,
         # W5 length-sorted batching (`BiEncoder/model.py:99-100`): sort
         # within partitions by name length before the string-kernel
         # UDFs so each Arrow batch pads to its own (short) max length —
