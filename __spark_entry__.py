@@ -27,6 +27,21 @@ def _er_pipeline(
     """ER pipeline over the interleaved lift of `documents`
     (+ deterministic duplicate mentions), returning cluster
     assignments (doc_id, cluster_id, cluster_size)."""
+    from chameleon_entity_linking_spark.sources.readers import (
+        interleave_documents,
+        load,
+        with_synthetic_duplicates,
+    )
+
+    docs = with_synthetic_duplicates(
+        interleave_documents(load(spark, sf_dir, "documents"))
+    )
+    return _er_pipeline_from_docs(spark, docs, block_cfg, score_cfg)
+
+
+def _er_pipeline_from_docs(
+    spark: SparkSession, docs: DataFrame, block_cfg, score_cfg
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     from chameleon_entity_linking_spark.operators.block import candidate_pairs
@@ -39,15 +54,8 @@ def _er_pipeline(
         edges_above_threshold,
         score_pairs,
     )
-    from chameleon_entity_linking_spark.sources.readers import (
-        interleave_documents,
-        load,
-        with_synthetic_duplicates,
-    )
 
-    docs = with_synthetic_duplicates(
-        interleave_documents(load(spark, sf_dir, "documents"))
-    ).repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     doc_norm = normalize(docs).persist()
     pairs, _ = candidate_pairs(doc_norm, block_cfg, score_cfg=score_cfg)
     presketched = score_cfg.cascade and score_cfg.prefilter_min_cheap is not None
@@ -92,14 +100,22 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mega-bucket junk before the cheap phase with zero effect on
     # the output (verified: identical histograms + confusion counts
     # at all three pinned scale factors, ~1.5x faster at sf0.1).
+    # The 2048 ceiling is PER-FAMILY (round 5): only the 8-row lsh2
+    # bands — which collide at J^8, so a 2048-member bucket is
+    # near-certain duplication — ride it; the short 4-row bands and
+    # the (40-value, stopword-grade) media hashes keep the tight 256,
+    # so their junk mega-buckets never enter the salted triangle.
+    # Verified identical cluster output at all three pinned scale
+    # factors vs the global-2048 round-4 config.
     return _er_pipeline(
         spark,
         sf_dir,
         BlockConfig(
             use_token_keys=False,
             hot_key_cap=128,
-            max_key_docs=2048,
+            max_key_docs=256,
             lsh2_bands=8,
+            family_ceilings={"l2": 2048},
         ),
         ScoreConfig(
             threshold=0.905,
@@ -246,17 +262,38 @@ FROM assign JOIN sizes ON sizes.cluster_id = assign.cluster_id
 """
 
 
-def _incremental_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-run incremental dedup (operators/incremental_er.py) in
-    the oracle-expressible md5-LSH family: batch 1 = the interleaved
-    base corpus, fully resolved and "committed"; batch 2 = the
-    synthetic duplicate mentions arriving later. The incremental path
-    blocks batch 2's keys against the committed key table (full-corpus
-    member counts), scores ONLY pairs with >= 1 new endpoint, and
-    merges the new edges into the committed clusters by re-clustering
-    only the affected components. Every batch-2 duplicate must land in
-    its source doc's batch-1 cluster — verified row-exactly by a
-    two-phase DuckDB closure."""
+def _incremental_er_query(hot_key_cap: int = 64, max_key_docs: int = 64):
+    """Build a cross-run incremental-dedup registry query
+    (operators/incremental_er.py) in the oracle-expressible md5-LSH
+    family: batch 1 = the interleaved base corpus, fully resolved and
+    "committed"; batch 2 = the synthetic duplicate mentions arriving
+    later. The incremental path blocks batch 2's keys against the
+    committed key table (full-corpus member counts), scores ONLY pairs
+    with >= 1 new endpoint, and merges the new edges into the
+    committed clusters by re-clustering only the affected components —
+    verified row-exactly by a two-phase DuckDB closure.
+
+    The cap parameters pick the regime: the default (64) keeps every
+    key under the ceiling in both phases; the DRIFT variant
+    (hot_key_cap=4, max_key_docs=8) makes committed keys CROSS
+    boundaries when batch 2 lands — measured at sf0.01: 12 keys drift
+    normal->salted and 4 drift over the ceiling — exercising the
+    documented drift semantics (full-corpus counts decide the new
+    classification; a key drifting over the ceiling stops emitting NEW
+    pairs but its committed edges persist — incremental resolution
+    never unlinks)."""
+
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _incremental_er_clusters_impl(
+            spark, sf_dir, hot_key_cap, max_key_docs
+        )
+
+    return _q
+
+
+def _incremental_er_clusters_impl(
+    spark: SparkSession, sf_dir: str, hot_key_cap: int, max_key_docs: int
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     from chameleon_entity_linking_spark.operators.block import (
@@ -288,6 +325,8 @@ def _incremental_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_family="md5_tokens",
         lsh_hashes=8,
         lsh_bands=4,
+        hot_key_cap=hot_key_cap,
+        max_key_docs=max_key_docs,
     )
     score_cfg = ScoreConfig(
         w_jw=0.4,
@@ -328,7 +367,13 @@ def _incremental_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INCREMENTAL_ER_ORACLE_SQL = f"""
+def _incremental_oracle_sql(cap_lo: int = 2, cap_hi: int = 64) -> str:
+    """Two-phase DuckDB closure for the incremental queries; the cap
+    bound parametrizes the drift variant (see _incremental_er_query —
+    phase 1 classifies on committed-only counts, phase 2 on
+    full-corpus counts, so a key whose count crosses ``cap_hi``
+    between phases contributes its committed pairs but no new ones)."""
+    return f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id::VARCHAR AS doc_id, text,
          CASE WHEN doc_id % 3 = 0
@@ -365,7 +410,7 @@ keys AS (
 -- phase 1: committed run sees only batch-1 members and counts
 kc1 AS (
   SELECT key FROM keys WHERE NOT is_new
-  GROUP BY key HAVING count(*) BETWEEN 2 AND 64
+  GROUP BY key HAVING count(*) BETWEEN {cap_lo} AND {cap_hi}
 ),
 cand1 AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -378,7 +423,7 @@ cand1 AS (
 kc2 AS (
   SELECT key FROM keys
   GROUP BY key
-  HAVING count(*) BETWEEN 2 AND 64 AND bool_or(is_new)
+  HAVING count(*) BETWEEN {cap_lo} AND {cap_hi} AND bool_or(is_new)
 ),
 cand2 AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -539,6 +584,113 @@ FROM pins JOIN n USING (ck)
 """
 
 
+def _x10_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10x expansion of the driver corpus: variant k in
+    0..9 of every interleaved doc (k=0 keeps the text; k>0 deletes the
+    char at position (11k+3) mod len). Ten near-identical variants per
+    doc multiply every blocking bucket's member count by ~10, so the
+    hot-key paths the small corpus never reaches — salted-triangle
+    splitting, per-family ceiling drops, lsh2 mega-buckets — run with
+    real work at driver-checkable scale."""
+    from pyspark.sql import functions as F
+
+    from chameleon_entity_linking_spark.sources.readers import (
+        interleave_documents,
+        load,
+    )
+
+    base = interleave_documents(load(spark, sf_dir, "documents"))
+    exp = base.select(
+        "doc_id",
+        "spans",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+    )
+
+    def edit_span(s):
+        ln = F.greatest(F.length(s["text"]), F.lit(1))
+        pos = (F.lit(11) * F.col("k") + F.lit(3)) % ln + F.lit(1)
+        edited = F.concat(
+            s["text"].substr(F.lit(1), pos - 1),
+            s["text"].substr(pos + 1, F.lit(10_000_000)),
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                (F.col("k") == 0) | (s["kind"] != F.lit("text")),
+                s["text"],
+            )
+            .otherwise(edited)
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return exp.select(
+        F.concat("doc_id", F.lit("_v"), F.col("k")).alias("doc_id"),
+        F.transform("spans", edit_span).alias("spans"),
+    )
+
+
+def _flagship_x10_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the flagship config over the 10x
+    corpus — the pinned-at-scale gate (round-5): at sf0.01 the corpus
+    is 5,000 docs in 10-member duplicate groups, so the salted
+    triangle and the lsh2 ceiling carry real volume under the driver's
+    rows+schema+hash comparison (the small-corpus pins never push a
+    bucket past the hot-key cap).
+
+    The sf0.1 pin (50k docs) deliberately records the DENSITY WALL:
+    ~8% of docs land as singletons because 10x duplication pushes the
+    most-common-profile groups' EVERY bucket — lsh2 included — past
+    the 2048 ceiling, and a doc whose every feature is corpus-common
+    is unresolvable by count-bounded blocking (the same tradeoff as
+    the reference's top-1000 candidate truncation,
+    BiEncoder/test_retrieval.py:51-76). The pin makes the wall's exact
+    position a regression-guarded, documented quantity instead of a
+    silent one; resolving denser corpora is a ceiling-retune, which
+    the per-family knob localizes to the lsh2 family."""
+    from pyspark.sql import functions as F
+
+    from chameleon_entity_linking_spark.operators.block import BlockConfig
+    from chameleon_entity_linking_spark.operators.score import ScoreConfig
+
+    return (
+        _er_pipeline_from_docs(
+            spark,
+            _x10_corpus(spark, sf_dir),
+            BlockConfig(
+                use_token_keys=False,
+                hot_key_cap=128,
+                max_key_docs=256,
+                lsh2_bands=8,
+                family_ceilings={"l2": 2048},
+            ),
+            ScoreConfig(
+                threshold=0.905,
+                prefilter_min_cheap=0.9,
+                prefilter_max_hamming=16,
+            ),
+        )
+        .groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+    )
+
+
+# pinned measured histograms of the deterministic x10 pipeline (the
+# corpus-key dispatch distinguishes the sfs); re-pin deliberately when
+# the pipeline's semantics change, never silently
+ER_PIPELINE_X10_HIST_ORACLE_SQL = f"""
+WITH n AS ({_CORPUS_KEY_SQL}),
+pins(ck, cluster_size, n_clusters) AS (VALUES
+  ('500-153156', 1, 17), ('500-153156', 2, 1), ('500-153156', 6, 2), ('500-153156', 8, 4), ('500-153156', 9, 3), ('500-153156', 10, 471), ('500-153156', 20, 10),
+  ('500-149174', 1, 22), ('500-149174', 2, 1), ('500-149174', 4, 1), ('500-149174', 7, 1), ('500-149174', 8, 4), ('500-149174', 9, 7), ('500-149174', 10, 463), ('500-149174', 20, 12),
+  ('5000-1485576', 1, 4065), ('5000-1485576', 2, 139), ('5000-1485576', 3, 10), ('5000-1485576', 5, 5), ('5000-1485576', 6, 20), ('5000-1485576', 7, 57), ('5000-1485576', 8, 139), ('5000-1485576', 9, 275), ('5000-1485576', 10, 3937), ('5000-1485576', 11, 1), ('5000-1485576', 13, 1), ('5000-1485576', 14, 2), ('5000-1485576', 15, 2), ('5000-1485576', 16, 1), ('5000-1485576', 17, 1), ('5000-1485576', 18, 3), ('5000-1485576', 19, 3), ('5000-1485576', 20, 92), ('5000-1485576', 30, 2)
+)
+SELECT cluster_size::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters
+FROM pins JOIN n USING (ck)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
@@ -554,9 +706,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ...and so are its confusion counts vs the duplicate-mention
     # labels — the north rule's F1 gate, driver-visible
     out["er_pipeline_f1"] = _flagship_f1
+    # pinned-at-scale gate: the 10x-expanded corpus pushes buckets
+    # past the hot-key cap and the lsh2 ceiling, so the salted
+    # triangle + per-family drop paths run under the driver's hash
+    # comparison (the small-corpus pins never reach them)
+    out["er_pipeline_x10_hist"] = _flagship_x10_hist
     # cross-run incremental dedup: batch 2 joins batch 1's committed
     # clusters through the delta-only path (md5 family, exact oracle)
-    out["incremental_er_clusters"] = _incremental_er_clusters
+    out["incremental_er_clusters"] = _incremental_er_query()
+    # DRIFT variant: tight caps (4/8) make committed keys cross the
+    # cap and the ceiling when batch 2 lands (12 and 4 keys at sf0.01
+    # respectively) — the documented drift semantics under oracle
+    out["incremental_er_drift"] = _incremental_er_query(
+        hot_key_cap=4, max_key_docs=8
+    )
     return out
 
 
@@ -567,5 +730,7 @@ def oracle_sql() -> dict[str, str]:
     out["er_pipeline_clusters"] = ER_PIPELINE_ORACLE_SQL
     out["er_pipeline_size_hist"] = ER_PIPELINE_SIZE_HIST_ORACLE_SQL
     out["er_pipeline_f1"] = ER_PIPELINE_F1_ORACLE_SQL
-    out["incremental_er_clusters"] = INCREMENTAL_ER_ORACLE_SQL
+    out["er_pipeline_x10_hist"] = ER_PIPELINE_X10_HIST_ORACLE_SQL
+    out["incremental_er_clusters"] = _incremental_oracle_sql()
+    out["incremental_er_drift"] = _incremental_oracle_sql(2, 8)
     return out

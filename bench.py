@@ -181,10 +181,12 @@ def _update_scaling_series(entry: dict) -> list[dict]:
             {
                 "metric": "scaling_efficiency_1_to_4_executors",
                 "protocol": (
-                    "local-cluster[E,8,12g] separate executor JVMs, fresh "
+                    "local-cluster[E,C,12g] separate executor JVMs, fresh "
                     "process+warehouse per run, fixed 64 shuffle "
-                    "partitions, same-shape warm-up first, best-of-2 "
-                    "per leg; efficiency = tput(4x8) / (4 * tput(1x8))"
+                    "partitions, same-shape warm-up first, MEDIAN-of-3 "
+                    "per leg (all reps recorded as reps_1x/reps_4x; "
+                    "efficiency_band = worst/best cross-pairing); "
+                    "efficiency = tput_median(4xC) / (4 * tput_median(1xC))"
                 ),
                 "series": series,
             },
@@ -194,7 +196,12 @@ def _update_scaling_series(entry: dict) -> list[dict]:
     return series
 
 
-def scaling_main(entities: int, reps: int = 2, exec_cores: int = 8) -> int:
+def _median_of(runs: list[dict]) -> dict:
+    ordered = sorted(runs, key=lambda r: r["docs_per_sec"])
+    return ordered[len(ordered) // 2]
+
+
+def scaling_main(entities: int, reps: int = 3, exec_cores: int = 8) -> int:
     # N vs 4N executors: local-cluster[1,C] vs local-cluster[4,C] —
     # separate executor JVMs (own heaps/GC, real inter-executor
     # shuffle), the faithful in-sandbox rendition of adding executors.
@@ -204,26 +211,28 @@ def scaling_main(entities: int, reps: int = 2, exec_cores: int = 8) -> int:
     # single-socket artifact a real fleet does not have, since nodes
     # bring their own memory controllers), C=4 keeps the 4N leg within
     # bandwidth headroom and shows the executor-scaling behavior
-    # itself. best-of-N per leg: single-box wall times vary ~±20%
-    # run-to-run (GC pauses, page-cache state); the best run is the
-    # least-noisy estimate of the leg's capability
-    lo = max(
-        (
-            _spawn(exec_cores, entities, executors=1, exec_cores=exec_cores)
-            for _ in range(reps)
-        ),
-        key=lambda r: r["docs_per_sec"],
-    )
-    hi = max(
-        (
-            _spawn(
-                4 * exec_cores, entities, executors=4, exec_cores=exec_cores
-            )
-            for _ in range(reps)
-        ),
-        key=lambda r: r["docs_per_sec"],
-    )
+    # itself. MEDIAN-of-N per leg with the full rep list recorded
+    # (round-5 variance discipline): single-box wall times vary ~±20%
+    # run-to-run (GC pauses, page-cache state) and the 1x leg's noise
+    # propagates straight into the ratio — the graded efficiency is
+    # median-based, and the band (worst/best cross-pairing of the
+    # recorded reps) states how much of the claim is weather.
+    lo_runs = [
+        _spawn(exec_cores, entities, executors=1, exec_cores=exec_cores)
+        for _ in range(reps)
+    ]
+    hi_runs = [
+        _spawn(4 * exec_cores, entities, executors=4, exec_cores=exec_cores)
+        for _ in range(reps)
+    ]
+    lo, hi = _median_of(lo_runs), _median_of(hi_runs)
+    lo_tputs = sorted(r["docs_per_sec"] for r in lo_runs)
+    hi_tputs = sorted(r["docs_per_sec"] for r in hi_runs)
     efficiency = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    eff_band = [
+        round(hi_tputs[0] / (4.0 * lo_tputs[-1]), 3),
+        round(hi_tputs[-1] / (4.0 * lo_tputs[0]), 3),
+    ]
     series = _update_scaling_series(
         {
             "n_docs": lo["n_docs"],
@@ -233,7 +242,10 @@ def scaling_main(entities: int, reps: int = 2, exec_cores: int = 8) -> int:
             "docs_per_sec_4x": hi["docs_per_sec"],
             "pipeline_sec_1x": lo["pipeline_sec"],
             "pipeline_sec_4x": hi["pipeline_sec"],
+            "reps_1x": lo_tputs,
+            "reps_4x": hi_tputs,
             "efficiency": round(efficiency, 3),
+            "efficiency_band": eff_band,
             "f1": hi["f1"],
         }
     )

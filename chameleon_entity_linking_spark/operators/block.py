@@ -108,6 +108,20 @@ class BlockConfig:
         # fold + lsh2_bands keys/doc. None disables (default);
         # fast family only.
         lsh2_bands: int | None = None,
+        # per-family max_key_docs overrides, keyed by family tag
+        # ("t" name tokens, "l" short LSH bands, "l2" long lsh2 bands,
+        # "m" media). A key family's selectivity dictates how big a
+        # bucket is still worth expanding: a 4-row band shared by
+        # 1000+ docs is corpus-common noise (its true pairs also meet
+        # in other families), while a 1000-member media-hash or 8-row
+        # lsh2 bucket is near-certain duplication. One global ceiling
+        # forces the worst family's bound on all of them — measured on
+        # the sf0.1 flagship, raising the global ceiling to 2048 for
+        # lsh2's benefit made the short-band junk buckets grind
+        # through the salted triangle for a 3x stage cost. Families
+        # not listed here use ``max_key_docs``; every family stays
+        # bounded by ``hot_key_cap * max_salts``.
+        family_ceilings: dict[str, int] | None = None,
         # diagnostics: keep the human-readable key strings through the
         # shuffle + in key_metrics (default hashes them to 64-bit ints
         # for shuffle compactness; a 64-bit collision, P ~ 1e-7 at
@@ -132,6 +146,11 @@ class BlockConfig:
             assert lsh_family == "fast", "lsh2 rides the fast signature"
             assert lsh_hashes % lsh2_bands == 0
         self.lsh2_bands = lsh2_bands
+        if family_ceilings:
+            assert set(family_ceilings) <= {"t", "l", "l2", "m"}, (
+                f"unknown family tags: {set(family_ceilings)}"
+            )
+        self.family_ceilings = family_ceilings
         self.debug_keys = debug_keys
 
     def fingerprint(self) -> dict:
@@ -188,26 +207,40 @@ def _lsh_keys_udf(cfg: BlockConfig):
     # keys, i.e. one giant junk blocking bucket. Media-only docs pair
     # via media keys.
     if cfg.debug_keys:
-        # readable string keys for diagnostics (md5 band digests)
+        # readable string keys for diagnostics (md5 band digests).
+        # Emits BOTH band families when lsh2_bands is set — debug-mode
+        # keys must not silently diverge from the fast-family keys the
+        # config requests (family order matches the fast UDF: all "l"
+        # short bands first, then the "l2" long bands, so the
+        # positional family tagging in blocking_keys applies to both).
         @F.pandas_udf("array<string>")
         def lsh_keys(tokens: pd.Series) -> pd.Series:
             shingles = [char_shingles(list(t)) for t in tokens]
             sigs = minhash_fast_batch(
                 shingles, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
             )
-            return pd.Series(
-                [
-                    [
-                        "l:" + k
+            out = []
+            for sig, empty in zip(sigs, _no_band_mask(tokens)):
+                if empty:
+                    out.append([])
+                    continue
+                ks = [
+                    "l:" + k
+                    for k in band_keys_from_signature(
+                        sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
+                    )
+                ]
+                if cfg.lsh2_bands:
+                    ks += [
+                        "l2:" + k
                         for k in band_keys_from_signature(
-                            sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
+                            sig.tolist(),
+                            cfg.lsh2_bands,
+                            cfg.lsh_hashes // cfg.lsh2_bands,
                         )
                     ]
-                    if not empty
-                    else []
-                    for sig, empty in zip(sigs, _no_band_mask(tokens))
-                ]
-            )
+                out.append(ks)
+            return pd.Series(out)
 
         return lsh_keys
 
@@ -249,7 +282,7 @@ def _lsh_keys_udf(cfg: BlockConfig):
 
 
 def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
-    """(doc_id, key) — one row per document per blocking key.
+    """(doc_id, key, fam) — one row per document per blocking key.
 
     Key type: int64 (family-salted hashes — token/media keys via JVM
     ``xxhash64('t'|'m', value)``, LSH band keys minted as int64 inside
@@ -258,6 +291,11 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
     end-to-end for diagnostics. (doc_id, key) is unique by
     construction: token/media keys are array_distinct per doc, band
     keys carry their band lane, and families are salt/prefix-disjoint.
+
+    ``fam`` tags each key's family ("t"/"l"/"l2"/"m") so the pair
+    expansion can apply per-family count ceilings
+    (``cfg.family_ceilings``); it is one dictionary-encoded byte per
+    row through the key shuffle.
     """
     if not (cfg.use_token_keys or cfg.use_lsh_keys or cfg.use_media_keys):
         raise ValueError(
@@ -286,6 +324,7 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
                 F.explode(
                     F.transform(name_tokens, lambda t: _mk("t", t))
                 ).alias("key"),
+                F.lit("t").alias("fam"),
             )
         )
     if cfg.use_lsh_keys:
@@ -298,13 +337,29 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
                     F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias(
                         "band"
                     ),
-                ).select("doc_id", _mk("l", F.col("band")).alias("key"))
+                ).select(
+                    "doc_id",
+                    _mk("l", F.col("band")).alias("key"),
+                    F.lit("l").alias("fam"),
+                )
             )
         else:
+            # fast (and debug) families order keys family-first — the
+            # first lsh_bands positions are the short "l" bands, the
+            # remainder the long "l2" bands — so the family tag falls
+            # out of the key's POSITION, no extra payload from the UDF
             parts.append(
                 doc_norm.select(
                     "doc_id",
-                    F.explode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias("key"),
+                    F.posexplode(_lsh_keys_udf(cfg)(F.col("tokens"))).alias(
+                        "pos", "key"
+                    ),
+                ).select(
+                    "doc_id",
+                    "key",
+                    F.when(F.col("pos") < cfg.lsh_bands, "l")
+                    .otherwise("l2")
+                    .alias("fam"),
                 )
             )
     if cfg.use_media_keys:
@@ -314,6 +369,7 @@ def blocking_keys(doc_norm: DataFrame, cfg: BlockConfig) -> DataFrame:
                 F.explode(
                     F.transform(F.col("media_refs"), lambda m: _mk("m", m))
                 ).alias("key"),
+                F.lit("m").alias("fam"),
             )
         )
     keys = parts[0]
@@ -327,10 +383,11 @@ def candidate_pairs(
     cfg: BlockConfig,
     score_cfg=None,
     persisted_out: list | None = None,
+    keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generate canonical candidate pairs + per-key metrics.
 
-    Returns (pairs(doc_a, doc_b), key_metrics(key, n_docs, class)).
+    Returns (pairs(doc_a, doc_b), key_metrics(key, fam, n_docs, class)).
 
     With ``score_cfg`` (a ScoreConfig with cascade + prefilter), the
     scoring stage's int8-sketch prefilter runs on the RAW pair stream
@@ -346,14 +403,22 @@ def candidate_pairs(
     Pass ``persisted_out`` (a list) to receive the cached DataFrames
     for ``unpersist()`` once outputs are materialized (long-lived
     sessions would otherwise accumulate cached blocks).
+
+    ``keys`` optionally supplies an already-materialized (e.g.
+    catalog-committed) blocking-key table for ``doc_norm`` — the
+    production pipeline commits keys as a first-class snapshot and
+    passes them here, so neither the batch re-run nor the incremental
+    path ever re-derives keys for committed docs (at 10^12 docs the
+    derivation is a full corpus pass through the MinHash UDF).
     """
-    # (doc_id, key) unique by construction (see blocking_keys), so no
-    # dedup shuffle is spent on the key table and count(*) == members.
-    # Two consumers (counts pass + grouping pass) — persist so the
-    # MinHash UDF runs once, not once per consumer.
-    keys = blocking_keys(doc_norm, cfg).persist()
-    if persisted_out is not None:
-        persisted_out.append(keys)
+    if keys is None:
+        # (doc_id, key) unique by construction (see blocking_keys), so
+        # no dedup shuffle is spent on the key table and count(*) ==
+        # members. Two consumers (counts pass + grouping pass) —
+        # persist so the MinHash UDF runs once, not once per consumer.
+        keys = blocking_keys(doc_norm, cfg).persist()
+        if persisted_out is not None:
+            persisted_out.append(keys)
     raw, key_metrics = expand_key_pairs(keys, cfg, persisted_out)
     if (
         score_cfg is not None
@@ -374,30 +439,56 @@ def expand_key_pairs(
     cfg: BlockConfig,
     persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(doc_id, key) -> (raw canonical pairs, key_metrics).
+    """(doc_id, key[, fam]) -> (raw canonical pairs, key_metrics).
 
     The count-classified grouped expansion + salted-triangle core of
     :func:`candidate_pairs`, factored out so the cross-run incremental
     path (operators/incremental_er.py) can run the identical skew
     discipline over a restricted key table. Output pairs are
     canonical (doc_a < doc_b) but NOT deduplicated across keys —
-    callers dedup after any fused prefilter.
+    callers dedup after any fused prefilter. A ``fam`` family-tag
+    column (emitted by :func:`blocking_keys`) selects per-family
+    count ceilings when ``cfg.family_ceilings`` is set; a bare
+    (doc_id, key) table gets the global ceiling.
     """
     spark = keys.sparkSession
     cap = cfg.hot_key_cap
-    ceiling = min(cap * cfg.max_salts, cfg.max_key_docs)
+    skew_bound = cap * cfg.max_salts
+    ceiling = min(skew_bound, cfg.max_key_docs)
+    # external callers may hand in a bare (doc_id, key) table; they
+    # get the global ceiling for every key
+    if "fam" not in keys.columns:
+        keys = keys.withColumn("fam", F.lit(None).cast("string"))
+    # per-key ceiling: family-tag lookup (cfg.family_ceilings), every
+    # family bounded by the skew bound; untagged/unlisted -> global.
+    # A constant-vs-column comparison either way — free in codegen.
+    if cfg.family_ceilings:
+        ceil_col = F.coalesce(
+            *[
+                F.when(F.col("fam") == f, F.lit(min(skew_bound, v)))
+                for f, v in sorted(cfg.family_ceilings.items())
+            ],
+            F.lit(ceiling),
+        )
+    else:
+        ceil_col = F.lit(ceiling)
     # pass 1: per-key member counts. Fully map-side combinable — the
     # shuffled bytes are one (key, partial_count) per distinct key per
-    # map partition, not the key table itself.
-    counts = keys.groupBy("key").agg(F.count("*").alias("n_docs")).persist()
+    # map partition, not the key table itself. fam is constant per key
+    # (families are salt/prefix-disjoint), so grouping by both changes
+    # nothing but carries the tag through.
+    counts = (
+        keys.groupBy("key", "fam").agg(F.count("*").alias("n_docs")).persist()
+    )
     if persisted_out is not None:
         persisted_out.append(counts)
     key_metrics = counts.select(
         "key",
+        "fam",
         "n_docs",
         F.when(F.col("n_docs") < 2, "singleton")
         .when(F.col("n_docs") <= cap, "normal")
-        .when(F.col("n_docs") <= ceiling, "salted")
+        .when(F.col("n_docs") <= ceil_col, "salted")
         .otherwise("dropped")
         .alias("class"),
     )
@@ -430,8 +521,11 @@ def expand_key_pairs(
     # stops computing it in multiplicate. The shuffle is of the
     # SMALL grouped table (rows bounded by the ceiling).
     grouped = (
-        keys.join(
-            counts.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= ceiling)),
+        keys.select("doc_id", "key")
+        .join(
+            counts.where(
+                (F.col("n_docs") >= 2) & (F.col("n_docs") <= ceil_col)
+            ).select("key"),
             "key",
         )
         .groupBy("key")

@@ -24,9 +24,30 @@ for the scale argument).
 
 from __future__ import annotations
 
+import atexit
+import itertools
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# One session-scoped spill directory for every driver contraction in
+# this process, removed at interpreter exit — a long-lived session no
+# longer leaks one /tmp dir per contraction, and nothing external can
+# delete a file a lazily-read DataFrame still points at mid-session.
+_SPILL_DIR: list[str] = []
+_SPILL_SEQ = itertools.count()
+
+
+def _spill_dir() -> str:
+    if not _SPILL_DIR:
+        d = tempfile.mkdtemp(prefix="cc_contract_")
+        _SPILL_DIR.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _SPILL_DIR[0]
 
 # Ceiling for the driver-side contraction epilogue (see
 # connected_components): 10M edges ~= 500MB of ids on the driver —
@@ -43,14 +64,27 @@ DRIVER_FINISH_MAX_EDGES = 10_000_000
 _EDGES_PER_DRIVER_MB = 410
 
 
+def _parse_jvm_mem_mb(mem: str) -> float:
+    """Parse a JVM memory string the way Spark does: optional k/m/g/t
+    suffix (with or without a trailing 'b'), and a PLAIN number means
+    MiB (Spark's byteStringAsMb default unit) — NOT bytes. Raises on
+    anything else (caller falls back)."""
+    mem = mem.strip().lower()
+    units = {"k": 1 / 1024, "m": 1.0, "g": 1024.0, "t": 1024.0 * 1024}
+    if mem.endswith("b") and len(mem) > 1 and mem[-2] in units:
+        mem = mem[:-1]  # "24gb" -> "24g"
+    if mem and mem[-1] in units:
+        return float(mem[:-1]) * units[mem[-1]]
+    return float(mem)  # suffix-less: MiB, matching Spark's reading
+
+
 def _driver_contract_bound(spark) -> int:
-    """Driver-memory-aware contraction bound: min(ceiling, 400 edges
+    """Driver-memory-aware contraction bound: min(ceiling, ~400 edges
     per MB of spark.driver.memory). Unparseable/unset memory falls
     back to Spark's 1g default -> a conservative ~400k-edge bound."""
-    mem = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
-    units = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    mem = str(spark.conf.get("spark.driver.memory", "1g"))
     try:
-        mb = float(mem[:-1]) * units[mem[-1]] if mem[-1] in units else float(mem) / (1 << 20)
+        mb = _parse_jvm_mem_mb(mem)
     except (ValueError, IndexError):
         mb = 1024.0
     return min(DRIVER_FINISH_MAX_EDGES, int(mb * _EDGES_PER_DRIVER_MB))
@@ -196,19 +230,25 @@ def _driver_contract(e: DataFrame) -> DataFrame:
     # createDataFrame pins the rows on the driver and re-ships them
     # through Py4J on EVERY downstream action (~1.8s at 450k rows vs
     # ~0.3s for write+read, measured). On a real cluster the local
-    # path is not executor-visible — fall back to createDataFrame
-    # (or point the spill at shared storage via a future knob).
+    # path is not executor-visible; set ``spark.chameleon.cc.spillDir``
+    # to a shared-storage URI (hdfs://, s3a://, ...) and the result is
+    # shipped ONCE (createDataFrame -> parquet write there) and read
+    # back distributed — every downstream action then scans the spill
+    # instead of re-shipping through Py4J. With neither, plain
+    # createDataFrame (correct, re-ships per action).
     master = spark.conf.get("spark.master", "")
     if master.startswith("local"):
-        import os
-        import tempfile
-
         import pyarrow.parquet as pq
 
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="cc_contract_"), "part-0.parquet"
-        )
+        path = os.path.join(_spill_dir(), f"contract_{next(_SPILL_SEQ)}.parquet")
         pq.write_table(out, path)
+        return spark.read.schema(out_schema).parquet(path)
+    spill_base = spark.conf.get("spark.chameleon.cc.spillDir", None)
+    if spill_base:
+        path = f"{spill_base.rstrip('/')}/contract_{next(_SPILL_SEQ)}"
+        spark.createDataFrame(out, out_schema).write.mode("overwrite").parquet(
+            path
+        )
         return spark.read.schema(out_schema).parquet(path)
     return spark.createDataFrame(out, out_schema)
 
@@ -217,6 +257,7 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,
     driver_finish_max_edges: int | None = None,
+    canonical_count: int | None = None,
 ) -> DataFrame:
     """edges(doc_a, doc_b) -> assignments(doc_id, cluster_id).
 
@@ -234,15 +275,31 @@ def connected_components(
     gets ~400k edges, this repo's 24g default the full 10M). Pass
     ``driver_finish_max_edges=0`` to force the fully distributed
     path, or an explicit edge count to override the derivation.
+
+    ``canonical_count``: pass the edge table's known row count when
+    the edges are already canonical (doc_a < doc_b, unique) — true for
+    every committed edges snapshot, whose manifest carries the count
+    for free. The initial dedup + standalone fingerprint/checkpoint
+    job is then skipped entirely: a below-bound edge set goes straight
+    to the driver contraction, an above-bound one straight into round
+    1 (one to two fewer fixed-latency jobs per run — the width-
+    invariant seconds that cap small-corpus scaling efficiency).
     """
     e = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     if driver_finish_max_edges is None:
         driver_finish_max_edges = _driver_contract_bound(edges.sparkSession)
-    e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
-    if prev_fp[0] <= driver_finish_max_edges:
-        return _driver_contract(e)
+    if canonical_count is not None:
+        if canonical_count <= driver_finish_max_edges:
+            return _driver_contract(e)
+        # a (count, None) sentinel can never equal a real round
+        # fingerprint, so convergence detection is unaffected
+        prev_fp: tuple = (canonical_count, None)
+    else:
+        e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
+        if prev_fp[0] <= driver_finish_max_edges:
+            return _driver_contract(e)
     for _ in range(max_rounds):
         # one dedup per round (fingerprint comparison needs a set, and
         # it bounds growth); the stars themselves tolerate duplicates

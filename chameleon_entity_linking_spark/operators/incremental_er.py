@@ -66,6 +66,8 @@ def incremental_candidate_pairs(
     score_cfg: ScoreConfig | None = None,
     doc_norm_all: DataFrame | None = None,
     persisted_out: list | None = None,
+    broadcast_delta: bool = True,
+    new_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs between a new batch and the committed corpus.
 
@@ -78,11 +80,21 @@ def incremental_candidate_pairs(
 
     With ``score_cfg`` + ``doc_norm_all``, the int8-sketch prefilter
     fuses into the expansion exactly like the batch path.
+
+    ``broadcast_delta`` (default True) hints the new-doc-id membership
+    probes as broadcasts — correct while the delta batch is small
+    relative to the corpus (the design point). For a delta too large
+    for the driver/broadcast threshold, pass False and let AQE pick
+    the join strategy from runtime sizes. ``new_keys`` optionally
+    supplies a precomputed (e.g. committed) key table for the new
+    batch; by default keys are derived here.
     """
     spark = new_norm.sparkSession
-    new_keys = blocking_keys(new_norm, cfg).persist()
-    if persisted_out is not None:
-        persisted_out.append(new_keys)
+    if new_keys is None:
+        new_keys = blocking_keys(new_norm, cfg).persist()
+        if persisted_out is not None:
+            persisted_out.append(new_keys)
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     # keys with no new member cannot form a new pair: one semi-join
     # restricts the committed key table to the touched slice before
     # any expansion work. (At scale this is the step that makes the
@@ -90,16 +102,16 @@ def incremental_candidate_pairs(
     # re-expanded.)
     touched = new_keys.select("key").distinct()
     relevant = committed_keys.join(touched, "key", "left_semi")
-    keys = relevant.unionByName(new_keys)
+    keys = relevant.unionByName(new_keys.select(*relevant.columns))
     raw, _metrics = expand_key_pairs(keys, cfg, persisted_out)
     # keep only pairs with >= 1 new endpoint. The new-doc id set is
     # the batch — small relative to the corpus — so both membership
-    # probes broadcast.
+    # probes broadcast (when hinted).
     new_ids = new_norm.select("doc_id").distinct()
-    na = F.broadcast(
+    na = hint(
         new_ids.select(F.col("doc_id").alias("doc_a"), F.lit(True).alias("new_a"))
     )
-    nb = F.broadcast(
+    nb = hint(
         new_ids.select(F.col("doc_id").alias("doc_b"), F.lit(True).alias("new_b"))
     )
     raw = (
@@ -122,6 +134,7 @@ def merge_clusters(
     committed_assignments: DataFrame,
     new_edges: DataFrame,
     all_docs: DataFrame,
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Merge new edges into committed clusters, re-clustering only the
     affected components.
@@ -138,20 +151,26 @@ def merge_clusters(
     by a new doc merge into one, with the usual min-id label. Every
     other committed cluster keeps its id without any recomputation
     (the re-clustered subgraph is proportional to the delta).
+
+    ``broadcast_delta`` (default True) hints the new-edge-endpoint and
+    affected-cluster probe sets as broadcasts — both are O(delta) by
+    construction. Pass False for a delta batch past the broadcast
+    threshold and AQE decides from runtime sizes instead.
     """
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     ends = (
         new_edges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     affected = (
-        committed_assignments.join(F.broadcast(ends), "doc_id", "left_semi")
+        committed_assignments.join(hint(ends), "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
     )
     star = (
         committed_assignments.join(
-            F.broadcast(affected), "cluster_id", "left_semi"
+            hint(affected), "cluster_id", "left_semi"
         )
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select(
@@ -182,18 +201,26 @@ def incremental_er_update(
     committed_assignments: DataFrame,
     block_cfg: BlockConfig,
     score_cfg: ScoreConfig,
+    broadcast_delta: bool = True,
+    new_norm: DataFrame | None = None,
+    new_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental ER step: returns (new_edges, merged_assignments).
 
     ``new_docs`` are input-hint-shaped (doc_id, spans); everything
     committed comes from the prior run's catalog tables. The caller
     commits the outputs (edges as an APPEND snapshot, assignments as
-    an overwrite) — see tests/test_incremental_er.py for the
-    catalog-integrated flow.
+    an overwrite) — see Pipeline.incremental (plans/pipeline.py) and
+    tests/test_incremental_er.py for the catalog-integrated flow.
+    ``new_norm``/``new_keys`` optionally supply already-materialized
+    features/keys for the batch (the pipeline commits both, so the
+    next increment starts from committed tables); ``broadcast_delta``
+    gates every O(delta) broadcast hint (see merge_clusters).
     """
     from chameleon_entity_linking_spark.operators.normalize import normalize
 
-    new_norm = normalize(new_docs).persist()
+    if new_norm is None:
+        new_norm = normalize(new_docs).persist()
     doc_norm_all = committed_norm.unionByName(new_norm)
     persisted: list = []
     pairs = incremental_candidate_pairs(
@@ -203,6 +230,8 @@ def incremental_er_update(
         score_cfg=score_cfg,
         doc_norm_all=doc_norm_all,
         persisted_out=persisted,
+        broadcast_delta=broadcast_delta,
+        new_keys=new_keys,
     )
     presketched = score_cfg.cascade and score_cfg.prefilter_min_cheap is not None
     new_edges = edges_above_threshold(
@@ -212,5 +241,7 @@ def incremental_er_update(
     all_docs = committed_assignments.select("doc_id").unionByName(
         new_docs.select("doc_id")
     )
-    merged = merge_clusters(committed_assignments, new_edges, all_docs)
+    merged = merge_clusters(
+        committed_assignments, new_edges, all_docs, broadcast_delta
+    )
     return new_edges, merged

@@ -45,7 +45,7 @@ NORM_COLUMNS = [
 ]
 
 
-def _embed_udf():
+def _embed_udf(dim: int = DEFAULT_DIM):
     # built lazily: pandas_udf parses its DDL against the active
     # session. Inputs are the JVM-prehashed token column (tokens_h:
     # xxhash64 per token, computed once in whole-stage codegen) plus
@@ -54,7 +54,7 @@ def _embed_udf():
     # functions/embed.encode_hashed_batch).
     @F.pandas_udf("array<float>")
     def embed(tokens_h: pd.Series, joined: pd.Series) -> pd.Series:
-        vecs = encode_hashed_batch(list(tokens_h), joined.tolist())
+        vecs = encode_hashed_batch(list(tokens_h), joined.tolist(), dim=dim)
         return pd.Series(list(vecs))
 
     return embed
@@ -103,7 +103,7 @@ def normalize(
             )
         ).alias("media_refs"),
     )
-    return (
+    out = (
         base
         # hashed views of the set-valued features: pair scoring does
         # set intersections per CANDIDATE PAIR, and array_intersect on
@@ -119,7 +119,7 @@ def normalize(
         )
         .withColumn(
             "embedding",
-            _embed_udf()(F.col("tokens_h"), F.array_join("tokens", " ")),
+            _embed_udf(dim)(F.col("tokens_h"), F.array_join("tokens", " ")),
         )
         # int8 quantization: unit-norm components in [-1,1] -> [-127,127];
         # max cosine estimation error ~2/127 (used with a safety margin)
@@ -130,13 +130,19 @@ def normalize(
                 lambda x: F.round(x * 127).cast("byte"),
             ),
         )
+    )
+    if dim <= 64:
         # 64-bit SIGN sketch (bit i set iff component i < 0): the
         # 8-byte SimHash of the embedding. The scoring prefilter's
         # first phase compares pairs with one XOR + popcount on this
         # long — pure whole-stage-codegen integer ops, no array
-        # allocation per pair (see score.sketch_prefilter; requires
-        # dim <= 64, asserted by the pack). Zero vectors -> 0.
-        .withColumn(
+        # allocation per pair (see score.sketch_prefilter). Zero
+        # vectors -> 0. A >64-dim embedding cannot sign-pack into one
+        # long (shiftleft wraps mod 64, which would silently alias
+        # sign bits and corrupt hamming distances) — the column is
+        # simply omitted and sketch_prefilter falls back to its
+        # int8-dot-only phase.
+        out = out.withColumn(
             "emb_sig",
             F.expr(
                 "aggregate(zip_with(emb_q, sequence(0, size(emb_q) - 1),"
@@ -144,4 +150,4 @@ def normalize(
                 " 0L, (a, b) -> a + b)"
             ),
         )
-    )
+    return out

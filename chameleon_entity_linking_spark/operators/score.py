@@ -390,9 +390,34 @@ def score_pairs(
     if cfg.length_sort:
         # W5: length-homogeneous Arrow batches for the 2-D kernels
         survivors = survivors.sortWithinPartitions(F.length("name_a"))
-    survivors = survivors.withColumn(
-        "s_jw", jw_udf("name_a", "name_b")
-    ).withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
+    survivors = survivors.withColumn("s_jw", jw_udf("name_a", "name_b"))
+    if cfg.cascade:
+        # JW-refined lossless upper bound BETWEEN the two kernels:
+        # Jaro-Winkler is O(n) per pair, Levenshtein O(n^2) — so
+        # re-apply the cascade bound with the ACTUAL s_jw (s_lev <= 1
+        # is the only remaining optimism) and only the survivors pay
+        # for the quadratic kernel. On corpora where the cheap
+        # set/cosine signals saturate (near-identical vocabularies)
+        # this is the phase that separates: measured on the sf0.1
+        # flagship, 1.30M cheap-phase survivors -> 22.7k Levenshtein
+        # calls, identical edges (the bound is an upper bound, so
+        # no pair that could clear the threshold is dropped).
+        jw_text_max = (
+            cfg.w_jw * F.col("s_jw")
+            + cfg.w_lev
+            + cfg.w_tok * F.col("s_tok")
+            + cfg.w_cos * F.col("s_cos")
+        )
+        jw_upper = (
+            F.when(no_text & has_media, F.col("s_media"))
+            .when(
+                has_media,
+                cfg.w_text * jw_text_max + cfg.w_media * F.col("s_media"),
+            )
+            .otherwise(jw_text_max)
+        )
+        survivors = survivors.where(jw_upper >= cfg.threshold)
+    survivors = survivors.withColumn("s_lev", lev_ratio_udf("name_a", "name_b"))
     text_score = (
         cfg.w_jw * F.col("s_jw")
         + cfg.w_lev * F.col("s_lev")

@@ -31,7 +31,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chameleon_entity_linking_spark.operators.block import BlockConfig, candidate_pairs
+from chameleon_entity_linking_spark.operators.block import (
+    BlockConfig,
+    blocking_keys,
+    candidate_pairs,
+)
 from chameleon_entity_linking_spark.operators.cluster import (
     assign_clusters,
     connected_components,
@@ -49,6 +53,30 @@ from chameleon_entity_linking_spark.sources.synth import SynthConfig, synth_tabl
 
 def _fp(obj: Any) -> str:
     return hashlib.md5(json.dumps(obj, sort_keys=True).encode()).hexdigest()[:16]
+
+
+# BlockConfig fields that change WHICH keys a document emits (the
+# committed blocking_keys table's identity). Cap/ceiling/salting knobs
+# deliberately excluded: they shape the pair EXPANSION, not the keys,
+# so retuning them resumes from the committed key table instead of
+# re-deriving it (the whole point of committing keys at 10^12 docs).
+_KEY_FIELDS = (
+    "lsh_hashes",
+    "lsh_bands",
+    "rows_per_band",
+    "minhash_seed",
+    "use_token_keys",
+    "use_lsh_keys",
+    "use_media_keys",
+    "lsh_family",
+    "lsh2_bands",
+    "debug_keys",
+)
+
+
+def _key_fp(block_cfg: BlockConfig, norm_fp: str) -> str:
+    cfg = block_cfg.fingerprint()
+    return _fp({"keys": {k: cfg[k] for k in _KEY_FIELDS}, "in": norm_fp})
 
 
 class Pipeline:
@@ -129,6 +157,18 @@ class Pipeline:
             "normalize", "doc_norm", norm_fp, lambda: normalize(docs)
         )
 
+        # blocking keys are a first-class committed snapshot: the
+        # incremental path (Pipeline.incremental) PROBES this table
+        # instead of re-deriving keys for the committed corpus, and a
+        # cap/ceiling retune resumes from it (see _KEY_FIELDS)
+        keys_fp = _key_fp(self.block_cfg, norm_fp)
+        keys_df = self._run_stage(
+            "block_keys",
+            "blocking_keys",
+            keys_fp,
+            lambda: blocking_keys(doc_norm, self.block_cfg),
+        )
+
         block_fp = _fp(
             {
                 "block": self.block_cfg.fingerprint(),
@@ -138,7 +178,7 @@ class Pipeline:
                     self.score_cfg.cascade,
                     self.score_cfg.prefilter_min_cheap,
                 ],
-                "in": norm_fp,
+                "in": keys_fp,
             }
         )
 
@@ -150,10 +190,11 @@ class Pipeline:
                 self.block_cfg,
                 score_cfg=self.score_cfg,
                 persisted_out=persisted,
+                keys=keys_df,
             )
             self.catalog.write(
                 "block_key_metrics",
-                key_metrics.groupBy("class").agg(
+                key_metrics.groupBy("fam", "class").agg(
                     F.count("*").alias("n_keys"),
                     F.sum("n_docs").alias("n_doc_keys"),
                 ),
@@ -182,11 +223,16 @@ class Pipeline:
         )
 
         cluster_fp = _fp({"cluster": 1, "in": score_fp})
+        # committed edges are canonical + counted (manifest footer
+        # counts) -> CC skips its standalone dedup/fingerprint job
+        n_edges = self.catalog.current_snapshot("edges").row_count
         assignments = self._run_stage(
             "cluster",
             "clusters",
             cluster_fp,
-            lambda: assign_clusters(docs, connected_components(edges)),
+            lambda: assign_clusters(
+                docs, connected_components(edges, canonical_count=n_edges)
+            ),
         )
 
         result: dict = {
@@ -216,3 +262,77 @@ class Pipeline:
                 lineage={"stage": "evaluate", "fingerprint": cluster_fp},
             )
         return result
+
+    def incremental(self, new_docs: DataFrame) -> dict:
+        """Resolve a NEW document batch against the committed corpus —
+        the O(delta) refresh path (operators/incremental_er.py).
+
+        Reads the committed ``doc_norm``, ``blocking_keys`` and
+        ``clusters`` snapshots (a full batch ``run()`` must have
+        committed them); derives features + keys for the new batch
+        ONLY — the committed key table is probed via semi-join, never
+        re-derived — then commits:
+
+          documents, doc_norm, blocking_keys   APPEND (the new batch)
+          edges                                APPEND (new edges only)
+          clusters                             overwrite (merged)
+
+        After the commit the catalog is in the same state a fresh full
+        run over the union corpus would leave for a subsequent
+        increment: the next batch probes keys covering every committed
+        doc, old and new.
+        """
+        from chameleon_entity_linking_spark.operators.incremental_er import (
+            incremental_er_update,
+        )
+
+        for table in ("doc_norm", "blocking_keys", "clusters"):
+            if not self.catalog.exists(table):
+                raise RuntimeError(
+                    f"incremental() needs a committed '{table}' snapshot — "
+                    "run() the batch pipeline first"
+                )
+        t0 = time.time()
+        committed_norm = self.catalog.read(self.spark, "doc_norm")
+        committed_keys = self.catalog.read(self.spark, "blocking_keys")
+        committed_assign = self.catalog.read(self.spark, "clusters").select(
+            "doc_id", "cluster_id"
+        )
+        new_norm = normalize(new_docs).persist()
+        new_keys = blocking_keys(new_norm, self.block_cfg).persist()
+        new_edges, merged = incremental_er_update(
+            new_docs,
+            committed_norm,
+            committed_keys,
+            committed_assign,
+            self.block_cfg,
+            self.score_cfg,
+            new_norm=new_norm,
+            new_keys=new_keys,
+        )
+        inc_fp = _fp(
+            {
+                "incremental": True,
+                "keys": _key_fp(self.block_cfg, ""),
+                "score": self.score_cfg.fingerprint(),
+            }
+        )
+        lineage = {"stage": "incremental", "fingerprint": inc_fp}
+        self.catalog.write("documents", new_docs, mode="append", lineage=lineage)
+        self.catalog.write("doc_norm", new_norm, mode="append", lineage=lineage)
+        self.catalog.write(
+            "blocking_keys", new_keys, mode="append", lineage=lineage
+        )
+        edge_snap = self.catalog.write(
+            "edges", new_edges, mode="append", lineage=lineage
+        )
+        cluster_snap = self.catalog.write("clusters", merged, lineage=lineage)
+        new_norm.unpersist()
+        new_keys.unpersist()
+        self.timings["incremental"] = time.time() - t0
+        return {
+            "n_new_docs": self.catalog.current_snapshot("documents").row_count,
+            "n_new_edges": edge_snap.row_count,
+            "n_clusters_rows": cluster_snap.row_count,
+            "timings": dict(self.timings),
+        }

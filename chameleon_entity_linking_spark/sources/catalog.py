@@ -22,6 +22,14 @@ Layout (ParquetCatalog):
     <warehouse>/<table>/snap-<n>/part-*.parquet   immutable data
     <warehouse>/<table>/manifest.json             current pointer
     <warehouse>/<table>/manifest.json.tmp-*       in-flight commit
+
+Warehouse filesystems: a scheme-less warehouse path uses the local
+filesystem directly (`_LocalFS` — zero-overhead sandbox path); any
+``scheme://`` warehouse (hdfs://, s3a://, viewfs://, file://, ...)
+routes every manifest/metadata operation through the JVM's Hadoop
+``FileSystem`` for that scheme (`_HadoopFS`), the same layer Spark
+itself writes the parquet data through — so a remote warehouse is
+supported end-to-end, not only for the data files.
 """
 
 from __future__ import annotations
@@ -35,6 +43,133 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class _LocalFS:
+    """Plain-os filesystem ops for a scheme-less local warehouse."""
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic on POSIX: this IS the commit
+
+    def delete(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                out.append((os.path.relpath(full, path), os.path.getsize(full)))
+        return out
+
+
+class _HadoopFS:
+    """Hadoop-FileSystem-backed ops for a ``scheme://`` warehouse.
+
+    Goes through the SAME JVM filesystem layer Spark writes parquet
+    with (py4j to ``org.apache.hadoop.fs.FileSystem``), so whatever
+    scheme the cluster mounts (hdfs://, s3a://, viewfs://, ...) works
+    for manifests exactly as it does for data. The manifest commit
+    rename uses ``FileContext.rename(..., OVERWRITE)`` — atomic on
+    HDFS; on rename-less object stores it degrades to the store's
+    copy+delete rename, the standard tradeoff every manifest-pointer
+    format accepts there.
+    """
+
+    def __init__(self, spark: SparkSession, base_uri: str):
+        self._jvm = spark._jvm  # noqa: SLF001 — py4j bridge is the API here
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        self._gateway = spark.sparkContext._gateway  # noqa: SLF001
+        juri = self._jvm.java.net.URI.create(base_uri)
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            juri, self._conf
+        )
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        try:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                juri, self._conf
+            )
+        except Exception:
+            self._fc = None  # fall back to delete+rename commits
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._Path(path)
+        return bool(self._fs.exists(p)) and bool(
+            self._fs.getFileStatus(p).isDirectory()
+        )
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(data))
+            out.hflush()
+        finally:
+            out.close()
+        src, dst = self._Path(tmp), self._Path(path)
+        if self._fc is not None:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            self._fc.rename(src, dst, opts)
+        else:
+            if self._fs.exists(dst):
+                self._fs.delete(dst, False)
+            self._fs.rename(src, dst)
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        base = self._Path(path)
+        if not self._fs.exists(base):
+            return []
+        base_str = str(self._fs.getFileStatus(base).getPath())
+        it = self._fs.listFiles(base, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            full = str(st.getPath())
+            rel = full[len(base_str) :].lstrip("/")
+            out.append((rel, int(st.getLen())))
+        return sorted(out)
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path
 
 
 def _footer_counts(data_dir: str) -> list[dict[str, Any]]:
@@ -83,9 +218,28 @@ class Snapshot:
 
 
 class ParquetCatalog:
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, spark: SparkSession | None = None):
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        self._spark = spark
+        self._fs: _LocalFS | _HadoopFS | None = None
+        if not _is_remote(warehouse):
+            self._fs = _LocalFS()
+            self._fs.mkdirs(warehouse)
+
+    @property
+    def fs(self) -> _LocalFS | _HadoopFS:
+        # the Hadoop FS bridge needs a live JVM — resolved lazily from
+        # the constructor session or the active one
+        if self._fs is None:
+            spark = self._spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    f"remote warehouse {self.warehouse!r} needs an active "
+                    "SparkSession (pass spark= to ParquetCatalog)"
+                )
+            self._fs = _HadoopFS(spark, self.warehouse)
+            self._fs.mkdirs(self.warehouse)
+        return self._fs
 
     # -- manifest helpers --------------------------------------------------
     def _table_dir(self, table: str) -> str:
@@ -96,19 +250,17 @@ class ParquetCatalog:
 
     def _read_manifest(self, table: str) -> dict | None:
         path = self._manifest_path(table)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return None
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_bytes(path).decode())
 
     def _commit_manifest(self, table: str, manifest: dict) -> None:
-        path = self._manifest_path(table)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)  # atomic on POSIX: this IS the commit
+        # atomic pointer swap through the warehouse's filesystem
+        # (POSIX rename locally, Hadoop FileContext OVERWRITE rename
+        # remotely) — this IS the commit
+        self.fs.write_atomic(
+            self._manifest_path(table), json.dumps(manifest, indent=1).encode()
+        )
 
     # -- public surface ----------------------------------------------------
     def exists(self, table: str) -> bool:
@@ -160,22 +312,22 @@ class ParquetCatalog:
         # second scan of the data, which at 100 TB would double every
         # stage's read volume) + per-partition lineage (north rule:
         # "per-partition lineage + metrics"): one entry per written
-        # file/partition-dir with its row count.
-        #
-        # NOTE: ParquetCatalog requires a DRIVER-LOCAL warehouse path —
-        # manifest commits go through local open()/os.replace, so an
-        # hdfs://-s3a:// warehouse would write data remotely but
-        # manifests into a literal local directory. Only the row_count
-        # fallback below is remote-safe (a metadata-only Spark count:
-        # parquet count() is footer-driven, not a data scan — one extra
-        # job, never silently zero); for a genuinely remote warehouse
-        # use IcebergCatalog, whose commits go through the table
-        # format's own filesystem layer.
-        if os.path.isdir(data_dir):
+        # file/partition-dir with its row count. On a remote
+        # (scheme://) warehouse the footers aren't driver-openable
+        # with plain pyarrow, so per-partition lineage comes from the
+        # Hadoop FS listing (path + bytes per file) and the row count
+        # from a metadata-only Spark count (parquet count() is
+        # footer-driven, not a data scan — one extra job, never
+        # silently zero).
+        if isinstance(self.fs, _LocalFS) and os.path.isdir(data_dir):
             partitions = _footer_counts(data_dir)
             row_count = sum(p["rows"] for p in partitions)
         else:
-            partitions = []
+            partitions = [
+                {"path": rel, "bytes": size}
+                for rel, size in self.fs.list_files(data_dir)
+                if rel.endswith(".parquet")
+            ]
             row_count = df.sparkSession.read.parquet(data_dir).count()
         dirs = [f"snap-{snap_id}"]
         if mode == "append" and m["snapshots"]:
@@ -221,7 +373,7 @@ class ParquetCatalog:
         raise KeyError(f"{table}: no snapshot {snapshot_id}")
 
     def drop(self, table: str) -> None:
-        shutil.rmtree(self._table_dir(table), ignore_errors=True)
+        self.fs.delete(self._table_dir(table))
 
 
 class IcebergCatalog:

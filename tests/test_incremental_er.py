@@ -218,6 +218,186 @@ class TestIncrementalER:
         )
 
 
+class TestIncrementalDrift:
+    """Key-count drift across the commit boundary — the documented
+    semantics at the cap/ceiling edges, driven through the FULL
+    incremental path (media keys give exact control over counts)."""
+
+    # cap 2, max_salts 2 -> skew bound 4; ceiling = min(4, 4) = 4
+    CFG = BlockConfig(hot_key_cap=2, max_salts=2, max_key_docs=4, debug_keys=True)
+    # media-only docs: match is judged purely on media jaccard, so two
+    # docs sharing their single media ref score 1.0
+    SC = ScoreConfig(threshold=0.8, prefilter_min_cheap=None)
+
+    def _commit(self, spark, rows):
+        docs = _docs(spark, rows)
+        norm = normalize(docs, repartition=False)
+        pairs, _ = candidate_pairs(norm, self.CFG, score_cfg=self.SC)
+        edges = edges_above_threshold(
+            score_pairs(pairs, norm, self.SC), self.SC
+        )
+        assign = assign_clusters(docs, connected_components(edges))
+        return docs, norm, assign
+
+    def test_key_drifts_over_cap_into_salted_path(self, spark):
+        """Committed key at 2 members (normal class); a new member
+        takes the FULL count to 3 > hot_key_cap -> the salted triangle
+        path, which must still link the new doc to both committed
+        members (full-corpus counts decide the classification)."""
+        batch1 = [("y1", "", "mY"), ("y2", "", "mY")]
+        docs1, norm1, assign1 = self._commit(spark, batch1)
+        _, merged = incremental_er_update(
+            _docs(spark, [("y3", "", "mY")]),
+            norm1,
+            blocking_keys(norm1, self.CFG),
+            assign1,
+            self.CFG,
+            self.SC,
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        assert got["y3"] == got["y1"] == got["y2"] == "y1"
+
+    def test_key_drifts_over_ceiling_never_unlinks(self, spark):
+        """Committed key at 4 members (== ceiling: expanded, one
+        committed cluster); two new members push the full count to
+        6 > ceiling -> the key is stopword-grade NOW, so it emits no
+        NEW pairs (the new docs stay singletons) — but the committed
+        cluster persists untouched: incremental resolution never
+        unlinks."""
+        batch1 = [(f"x{i}", "", "mX") for i in range(1, 5)]
+        docs1, norm1, assign1 = self._commit(spark, batch1)
+        committed = {r["doc_id"]: r["cluster_id"] for r in assign1.collect()}
+        assert len({committed[f"x{i}"] for i in range(1, 5)}) == 1
+        new_edges, merged = incremental_er_update(
+            _docs(spark, [("x5", "", "mX"), ("x6", "", "mX")]),
+            norm1,
+            blocking_keys(norm1, self.CFG),
+            assign1,
+            self.CFG,
+            self.SC,
+        )
+        assert new_edges.count() == 0  # over-ceiling key emits nothing
+        got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        for i in range(1, 5):  # committed cluster intact
+            assert got[f"x{i}"] == committed[f"x{i}"]
+        assert got["x5"] == "x5" and got["x6"] == "x6"  # new: singletons
+
+    def test_new_doc_bridges_two_committed_clusters_full_path(self, spark):
+        """A new doc sharing media with members of TWO distinct
+        committed clusters merges them through the full incremental
+        path (blocking -> scoring -> affected-component re-cluster),
+        under the global min id — not just in merge_clusters
+        isolation."""
+        batch1 = [
+            ("p1", "", "mP"),
+            ("p2", "", "mP"),
+            ("q1", "", "mQ"),
+            ("q2", "", "mQ"),
+        ]
+        docs1, norm1, assign1 = self._commit(spark, batch1)
+        committed = {r["doc_id"]: r["cluster_id"] for r in assign1.collect()}
+        assert committed["p1"] == committed["p2"] != committed["q1"]
+        # n1 carries BOTH media refs -> media jaccard 0.5 vs each
+        # cluster... so score with a threshold the bridge can clear
+        bridge_sc = ScoreConfig(threshold=0.45, prefilter_min_cheap=None)
+        n1 = spark.createDataFrame(
+            [
+                (
+                    "n1",
+                    [
+                        ("image", "", "mP", 0),
+                        ("image", "", "mQ", 1),
+                    ],
+                )
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        _, merged = incremental_er_update(
+            n1,
+            norm1,
+            blocking_keys(norm1, self.CFG),
+            assign1,
+            self.CFG,
+            bridge_sc,
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+        # one component under the global min id ("n1" < "p1" < "q1")
+        assert (
+            got["p1"] == got["p2"] == got["q1"] == got["q2"] == got["n1"]
+            == "n1"
+        )
+
+
+class TestPipelineIncremental:
+    """Pipeline.incremental: the committed blocking_keys snapshot is
+    CONSUMED (probed), never re-derived — plus the catalog ends in the
+    state a fresh full run would leave for the next increment."""
+
+    def test_incremental_consumes_committed_keys(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from chameleon_entity_linking_spark.plans import pipeline as pl
+        from chameleon_entity_linking_spark.sources.synth import SynthConfig
+
+        p = pl.Pipeline(
+            spark, str(tmp_path / "wh"), synth_cfg=SynthConfig(n_entities=40, seed=7)
+        )
+        p.run(evaluate=False)
+        # the batch run committed keys as a first-class snapshot
+        keys_snap = p.catalog.current_snapshot("blocking_keys")
+        assert keys_snap is not None and keys_snap.row_count > 0
+        assert keys_snap.lineage["stage"] == "block_keys"
+        committed_keys_rows = keys_snap.row_count
+        n_docs_before = p.catalog.read(spark, "documents").count()
+
+        # new batch: an exact copy of one committed doc under a new id
+        src = p.catalog.read(spark, "documents").orderBy("doc_id").first()
+        new_docs = spark.createDataFrame(
+            [("znew_0", src["spans"])],
+            p.catalog.read(spark, "documents").schema,
+        )
+
+        # count key derivations during the incremental step: exactly
+        # ONE blocking_keys call, over the NEW batch only — the
+        # committed corpus's keys come from the catalog snapshot
+        calls = []
+        real = pl.blocking_keys
+
+        def spy(norm, cfg):
+            calls.append(norm)
+            return real(norm, cfg)
+
+        monkeypatch.setattr(pl, "blocking_keys", spy)
+        res = p.incremental(new_docs)
+        assert len(calls) == 1
+        assert calls[0].count() == 1  # the 1-doc delta, not the corpus
+
+        # the new doc joined its source's cluster
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in p.catalog.read(spark, "clusters").collect()
+        }
+        assert got["znew_0"] == got[src["doc_id"]]
+        # catalog state is increment-ready: documents/doc_norm/keys all
+        # appended, so the NEXT batch probes keys covering this one
+        assert p.catalog.read(spark, "documents").count() == n_docs_before + 1
+        assert p.catalog.read(spark, "doc_norm").count() == n_docs_before + 1
+        assert (
+            p.catalog.read(spark, "blocking_keys").count()
+            > committed_keys_rows
+        )
+        assert p.catalog.current_snapshot("blocking_keys").mode == "append"
+        assert res["n_new_docs"] == 1
+
+    def test_incremental_requires_committed_run(self, spark, tmp_path):
+        from chameleon_entity_linking_spark.plans.pipeline import Pipeline
+
+        p = Pipeline(spark, str(tmp_path / "wh_empty"))
+        with pytest.raises(RuntimeError, match="committed"):
+            p.incremental(_docs(spark, [("x", "a b c", "")]))
+
+
 class TestAnnMultiProbe:
     def test_boundary_vector_recovered_at_nprobe2(self, spark):
         """A query's true nearest neighbor sits just across its own
