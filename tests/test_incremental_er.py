@@ -442,6 +442,25 @@ class TestDriverContractBound:
         if spark.conf.get("spark.driver.memory", "1g") == "24g":
             assert bound == DRIVER_FINISH_MAX_EDGES
 
+    def test_jvm_memory_string_parsing(self):
+        """Spark reads a suffix-less spark.driver.memory as MiB (not
+        bytes) and accepts one- or two-letter k/m/g/t[b] suffixes —
+        the bound derivation must agree, or a '4096' (4 GiB) driver
+        silently gets a ~1-edge bound (ADVICE r4)."""
+        from chameleon_entity_linking_spark.operators.cluster import (
+            _parse_jvm_mem_mb,
+        )
+
+        assert _parse_jvm_mem_mb("4096") == 4096.0  # plain = MiB
+        assert _parse_jvm_mem_mb("24g") == 24 * 1024.0
+        assert _parse_jvm_mem_mb("24gb") == 24 * 1024.0
+        assert _parse_jvm_mem_mb("512m") == 512.0
+        assert _parse_jvm_mem_mb("512MB") == 512.0
+        assert _parse_jvm_mem_mb("1t") == 1024.0 * 1024
+        assert _parse_jvm_mem_mb("2048k") == 2.0
+        with pytest.raises(ValueError):
+            _parse_jvm_mem_mb("not-a-size")
+
 
 class TestStreamIdGuard:
     def test_fresh_checkpoint_replays_instead_of_skipping(
