@@ -304,11 +304,12 @@ def scaling_main(entities: int, reps: int = 3, exec_cores: int = 8) -> int:
         "## What limits efficiency in this sandbox (measured, not guessed)",
         "",
         "All executors are JVMs on ONE 32-core single-socket box. The",
-        ">= 0.8 target is MET at C=2 on the 1.75M-doc corpus: 0.844",
-        "(1x2 514.0s -> 4x2 152.2s), the width whose 4N leg (8 active",
+        ">= 0.8 target is MET at C=2 on the 1.75M-doc corpus under the",
+        "round-5 median-of-3 protocol: 0.815 (band 0.766-0.851 across",
+        "the recorded reps) — C=2 is the width whose 4N leg (8 active",
         "cores) stays fully inside the box's memory-bandwidth headroom.",
         "Efficiency declines monotonically with active cores at the 4N",
-        "leg (0.844 at 8 -> 0.637-0.828 at 16 -> 0.456 at 32) — a",
+        "leg (0.815 at 8 -> 0.721 at 16 -> ~0.45 at 32) — a",
         "shared-DRAM property, not a plan property (C=4 eventlogs: the",
         "largest pure-JVM job runs at equal executor CPU at both widths;",
         "only Python/numpy stages inflate). Full band + attribution:",
@@ -324,14 +325,14 @@ def scaling_main(entities: int, reps: int = 3, exec_cores: int = 8) -> int:
         "  (118.2s vs 112.1s) shows the saturated regime remains: a",
         "  real 4-node fleet adds a memory subsystem per node, so C=4",
         "  legs are the honest in-sandbox proxy for executor scaling.",
-        "- **Small-corpus rows: fixed-seconds amortization.** Round 4",
-        "  made every leg 1.7-2x faster at the same plans, so the",
+        "- **Small-corpus rows: fixed-seconds amortization.** The",
         "  width-invariant residual (AQE inter-stage re-plan pauses,",
-        "  CC convergence checkpoint + bounded driver contraction,",
-        "  catalog commits — ~8-12s total) is a LARGER share of the",
-        "  shorter 700k runs: its C=4 efficiency fell 0.785 -> 0.66",
-        "  while its wall time fell 83 -> 58s. The size trend (0.66 at",
-        "  700k -> 0.828 at 1.75M, same binary) is the evidence that",
+        "  CC convergence + bounded driver contraction, catalog",
+        "  commits — ~20s of the 4x4 leg's 102s at 1.75M, measured",
+        "  from the per-stage ratios: cluster scales 1.08x, score",
+        "  carries ~9s fixed) is a LARGER share of shorter runs:",
+        "  700k C=4 sits at 0.66 while 1.75M C=4 reaches 0.72 and",
+        "  3.5M higher still — the size trend is the evidence that",
         "  the plans scale and the residual is per-run constants.",
         "- An AQE-off A/B at the 700k 4x4 leg measured WORSE (60.8s vs",
         "  57.8s): the re-plan pauses cost less than runtime coalescing",
