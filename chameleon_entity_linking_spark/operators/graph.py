@@ -1,21 +1,36 @@
-"""Graph expansion operators: k-hop frontier BFS + personalized
-PageRank as iterative DataFrame joins.
+"""Graph expansion operators: k-hop frontier BFS, count-bounded DFS
+expansion, personalized PageRank, and DOT-text neighborhood rendering
+as DataFrame programs.
 
 The reference expands entity neighborhoods with in-memory BFS/DFS and
 personalized PageRank over a scipy CSR matrix
-(`utils/entity_expander.py:80-129`). Here both are driver-controlled
-iterative joins over an ``edges(src, dst)`` DataFrame — the classic
-distributed formulation (frontier joins for BFS, rank-mass joins for
-PPR), each round ``localCheckpoint``-ed to truncate lineage.
+(`utils/entity_expander.py:80-129`). Here BFS and PPR are
+driver-controlled iterative joins over an ``edges(src, dst)``
+DataFrame — the classic distributed formulation (frontier joins for
+BFS, rank-mass joins for PPR), each round ``localCheckpoint``-ed to
+truncate lineage.
 
-DFS (G2) is inherently order-dependent single-process semantics and is
-deliberately not reproduced; k-hop BFS covers the reachability
-capability (SURVEY.md §2.8).
+DFS (G2, `utils/entity_expander.py:80-90`) is a count-bounded LIFO
+walk whose reference realization is order-dependent (it pushes
+``set()``-ordered neighbors, so its output order is a Python hashing
+artifact). ``dfs_expand`` pins a canonical deterministic order
+(smallest-id neighbor first) and distributes the work across seeds:
+the k-hop ball of each seed is gathered with frontier joins (work
+proportional to the expansion, never the graph), then the inherently
+sequential per-seed stack walk runs inside ``applyInPandas`` — one
+small local walk per seed, millions of seeds in parallel.
+
+The visualization surface (G5,
+`utils/visualize_expanded_entities.py:16-41` — a networkx/matplotlib
+debug notebook) is re-expressed as ``expansion_dot``: a deterministic
+Graphviz DOT document per seed, pure string aggregation, renderable
+by any dot(1) toolchain.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+import pandas as pd
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -62,6 +77,170 @@ def k_hop_expand(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def k_hop_ball(
+    edges: DataFrame, seeds: DataFrame, k: int, directed: bool = False
+) -> DataFrame:
+    """Per-seed k-hop neighborhoods: (seed, node, hop) with minimal
+    hop distance, one row per (seed, reachable node).
+
+    Unlike :func:`k_hop_expand` (which merges all seeds into one
+    visited set), every seed keeps its own ball — the shape the
+    reference's per-query expansion loop needs
+    (`utils/entity_expander.py:106-121` runs one walk per entity).
+    Frontier joins keyed on (seed, node): work is proportional to the
+    sum of ball sizes and partitions by hash of both columns, so a
+    popular hub node appearing in many balls spreads across tasks.
+    """
+    e = edges if directed else _symmetrize(edges)
+    e = e.localCheckpoint()
+    visited = seeds.select(
+        F.col("node").alias("seed"), F.col("node"), F.lit(0).alias("hop")
+    ).localCheckpoint()
+    frontier = visited.select("seed", "node")
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "node")
+    return visited
+
+
+def dfs_expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    ball_hops: int | None = None,
+) -> DataFrame:
+    """Count-bounded DFS expansion per seed (G2 analogue of
+    `utils/entity_expander.py:80-90`): LIFO walk from each seed that
+    stops after visiting ``k`` nodes (the seed itself is expanded but
+    excluded from the output, like the reference's ``dfs``).
+
+    Returns (seed, node, visit_order) with visit_order 1-based in
+    discovery order. Semantics pinned deterministic where the
+    reference is not: neighbors are pushed largest-id-last, so the
+    lexicographically smallest unvisited neighbor is visited first
+    (the reference pushes ``set()``-ordered neighbors — a hashing
+    artifact with no canonical order to reproduce — and can re-expand
+    its start node; here the start is marked visited immediately).
+
+    Distribution: a DFS that visits at most ``k`` nodes can reach at
+    most ``k`` hops, so the k-hop ball (``k_hop_ball``, frontier
+    joins) bounds the walk exactly; each seed's ball edges are then
+    grouped to one ``applyInPandas`` call running the sequential
+    stack walk locally. Millions of seeds parallelize across the
+    cluster; ``ball_hops`` can cap the gather radius below ``k`` when
+    the application knows its expansions are shallow.
+
+    Seeds with no incident edges produce no rows (the reference
+    returns ``[]`` for them).
+    """
+    radius = k if ball_hops is None else ball_hops
+    e = _symmetrize(edges).localCheckpoint()
+    members = k_hop_ball(e, seeds, radius, directed=True).select(
+        "seed", "node"
+    )
+    ball_edges = members.join(e, members["node"] == e["src"]).select(
+        "seed", "src", "dst"
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        seed = pdf["seed"].iloc[0]
+        adj: dict = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            adj.setdefault(s, []).append(d)
+        vset = set()
+        visited: list = []
+        stack = [seed]
+        while stack and len(visited) < k:
+            v = stack.pop()
+            if v in vset:
+                continue
+            vset.add(v)
+            if v != seed:
+                visited.append(v)
+            stack.extend(
+                n
+                for n in sorted(adj.get(v, ()), reverse=True)
+                if n not in vset
+            )
+        return pd.DataFrame(
+            {
+                "seed": [seed] * len(visited),
+                "node": visited,
+                "visit_order": pd.Series(
+                    range(1, len(visited) + 1), dtype="int32"
+                ),
+            }
+        )
+
+    return ball_edges.groupBy("seed").applyInPandas(
+        _walk, "seed string, node string, visit_order int"
+    )
+
+
+def expansion_dot(ball: DataFrame, top_n: int = 5) -> DataFrame:
+    """Graphviz DOT rendering of expansion neighborhoods (G5 analogue
+    of `utils/visualize_expanded_entities.py:16-41`, which draws a
+    star graph from each query to its first expansion nodes).
+
+    Input: (seed, node, hop) as produced by :func:`k_hop_ball`.
+    Output: (seed, dot) — one deterministic DOT document per seed,
+    a star of the seed's ``top_n`` nearest expansion nodes ordered by
+    (hop, node), e.g.::
+
+        graph "7" {
+          "7" -- "12";
+          "7" -- "31";
+        }
+
+    Pure JVM string aggregation (window top-n + sorted collect_list),
+    no Python in the plan; seeds with no hop>=1 nodes emit no row
+    (the reference would draw an empty star).
+    """
+    w = Window.partitionBy("seed").orderBy(F.asc("hop"), F.asc("node"))
+    ranked = (
+        ball.where(F.col("hop") >= 1)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+    )
+    return (
+        ranked.select("seed", F.struct("hop", "node").alias("hn"))
+        .groupBy("seed")
+        .agg(F.array_sort(F.collect_list("hn")).alias("hns"))
+        .select(
+            "seed",
+            F.concat(
+                F.lit('graph "'),
+                F.col("seed"),
+                F.lit('" {\n'),
+                F.array_join(
+                    F.transform(
+                        "hns",
+                        lambda x: F.concat(
+                            F.lit('  "'),
+                            F.col("seed"),
+                            F.lit('" -- "'),
+                            x["node"],
+                            F.lit('";'),
+                        ),
+                    ),
+                    "\n",
+                ),
+                F.lit("\n}"),
+            ).alias("dot"),
+        )
+    )
 
 
 def personalized_pagerank(

@@ -1046,6 +1046,146 @@ SELECT node, min(hop)::INT AS hop FROM bfs GROUP BY node
 """
 
 
+def q_dfs_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """G2 count-bounded DFS expansion (graph.dfs_expand): the
+    deterministic smallest-neighbor-first LIFO walk of
+    `utils/entity_expander.py:80-90`, k=10 visited nodes per seed,
+    over the same trigram-key edge set and 3-smallest-left-endpoint
+    seeds as `khop_reach`. Distributed shape: per-seed k-hop ball via
+    frontier joins, then one applyInPandas stack walk per seed.
+
+    Oracle: the traversal ORDER is not SQL-expressible (it depends on
+    a visited-set evolving with the walk), so the oracle is a pinned
+    expected table — derived INDEPENDENTLY of the Spark operator by
+    running the committed trigram-pairs SQL in DuckDB and a
+    pure-Python reference walk (tools-side derivation), dispatched on
+    the corpus key like the er_pipeline pins."""
+    from chameleon_entity_linking_spark.operators.graph import dfs_expand
+
+    pairs = q_trigram_blocking_pairs(spark, sf).where(
+        F.col("n_shared_keys") >= 3
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    seeds = (
+        pairs.select(F.col("doc_a").cast("long").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .select(F.col("d").cast("string").alias("node"))
+    )
+    out = dfs_expand(edges, seeds, k=10)
+    return out.select(
+        "seed", "node", F.col("visit_order").cast("int").alias("visit_order")
+    )
+
+
+# Pinned expected DFS orders per committed corpus (key = row count +
+# total text chars, as the er_pipeline pins): derived via DuckDB
+# (trigram-pairs SQL) + a pure-Python walk, independent of the Spark
+# implementation under test.
+SQL_DFS_EXPAND = """
+WITH n AS (
+  SELECT count(*)::VARCHAR || '-' || sum(length(text))::VARCHAR AS ck
+  FROM documents
+),
+pins(ck, seed, node, visit_order) AS (VALUES
+  ('500-153156', '0', '50', 1), ('500-153156', '0', '82', 2),
+  ('500-153156', '1', '211', 1), ('500-153156', '1', '299', 2),
+  ('500-153156', '1', '208', 3), ('500-153156', '1', '153', 4),
+  ('500-153156', '1', '291', 5), ('500-153156', '1', '34', 6),
+  ('500-153156', '1', '404', 7),
+  ('500-153156', '10', '133', 1), ('500-153156', '10', '459', 2),
+  ('500-153156', '10', '77', 3),
+  ('500-149174', '4', '482', 1),
+  ('500-149174', '11', '315', 1),
+  ('500-149174', '12', '302', 1),
+  ('5000-1485576', '2', '3024', 1), ('5000-1485576', '2', '2469', 2),
+  ('5000-1485576', '2', '2547', 3), ('5000-1485576', '2', '215', 4),
+  ('5000-1485576', '2', '3509', 5), ('5000-1485576', '2', '136', 6),
+  ('5000-1485576', '2', '1514', 7), ('5000-1485576', '2', '148', 8),
+  ('5000-1485576', '2', '1795', 9), ('5000-1485576', '2', '1089', 10),
+  ('5000-1485576', '3', '1483', 1), ('5000-1485576', '3', '2140', 2),
+  ('5000-1485576', '3', '1603', 3), ('5000-1485576', '3', '1458', 4),
+  ('5000-1485576', '3', '2211', 5), ('5000-1485576', '3', '2351', 6),
+  ('5000-1485576', '3', '2413', 7), ('5000-1485576', '3', '107', 8),
+  ('5000-1485576', '3', '1125', 9), ('5000-1485576', '3', '1356', 10),
+  ('5000-1485576', '4', '2089', 1), ('5000-1485576', '4', '1329', 2),
+  ('5000-1485576', '4', '2008', 3), ('5000-1485576', '4', '2927', 4),
+  ('5000-1485576', '4', '3670', 5), ('5000-1485576', '4', '2295', 6),
+  ('5000-1485576', '4', '124', 7), ('5000-1485576', '4', '1140', 8),
+  ('5000-1485576', '4', '2421', 9), ('5000-1485576', '4', '1386', 10)
+)
+SELECT seed, node, visit_order::INT AS visit_order
+FROM pins JOIN n USING (ck)
+"""
+
+
+def q_expansion_dot(spark: SparkSession, sf: str) -> DataFrame:
+    """G5 neighborhood visualization (graph.expansion_dot): one
+    deterministic Graphviz DOT star per seed — the engine-surface
+    re-expression of the reference's networkx/matplotlib notebook
+    (`utils/visualize_expanded_entities.py:16-41`). Per-seed 2-hop
+    balls (graph.k_hop_ball) rendered as the seed's 5 nearest
+    expansion nodes by (hop, node). Pure string aggregation, fully
+    SQL-expressible -> real DuckDB oracle."""
+    from chameleon_entity_linking_spark.operators.graph import (
+        expansion_dot,
+        k_hop_ball,
+    )
+
+    pairs = q_trigram_blocking_pairs(spark, sf).where(
+        F.col("n_shared_keys") >= 3
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    seeds = (
+        pairs.select(F.col("doc_a").cast("long").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .select(F.col("d").cast("string").alias("node"))
+    )
+    return expansion_dot(k_hop_ball(edges, seeds, k=2), top_n=5)
+
+
+SQL_EXPANSION_DOT = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_TRIGRAM_PAIRS}) WHERE n_shared_keys >= 3
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT doc_a::BIGINT::VARCHAR AS node FROM pairs
+  ORDER BY doc_a::BIGINT LIMIT 3
+),
+bfs AS (
+  SELECT node AS seed, node, 0 AS hop FROM seeds
+  UNION
+  SELECT bfs.seed, s.b, bfs.hop + 1 FROM bfs JOIN sym s ON s.a = bfs.node
+  WHERE bfs.hop < 2
+),
+ball AS (SELECT seed, node, min(hop) AS hop FROM bfs GROUP BY seed, node),
+ranked AS (
+  SELECT seed, node, hop,
+         row_number() OVER (PARTITION BY seed ORDER BY hop, node) AS rn
+  FROM ball WHERE hop >= 1
+)
+SELECT seed,
+       'graph "' || seed || '" {{' || chr(10) ||
+       string_agg('  "' || seed || '" -- "' || node || '";', chr(10)
+                  ORDER BY hop, node) ||
+       chr(10) || '}}' AS dot
+FROM ranked WHERE rn <= 5
+GROUP BY seed
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search over `embeddings` (ANN family)
 # --------------------------------------------------------------------------
@@ -1587,6 +1727,8 @@ REGISTRY: dict = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "khop_reach": (q_khop_reach, SQL_KHOP_REACH),
+    "dfs_expand": (q_dfs_expand, SQL_DFS_EXPAND),
+    "expansion_dot": (q_expansion_dot, SQL_EXPANSION_DOT),
     "pair_string_scores": (q_pair_string_scores, SQL_PAIR_STRING_SCORES),
     "limit_sample": (q_limit_sample, SQL_LIMIT_SAMPLE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

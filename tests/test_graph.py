@@ -1,11 +1,18 @@
 """Graph expansion: k-hop BFS vs hand-computed hops, PPR vs a numpy
-power-iteration oracle (SURVEY.md §2.8 G1/G3/W4)."""
+power-iteration oracle, count-bounded DFS vs an independent Python
+walk, DOT rendering vs exact expected text (SURVEY.md §2.8
+G1/G2/G3/G5/W4)."""
+
+import random
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from chameleon_entity_linking_spark.operators.graph import (
+    dfs_expand,
+    expansion_dot,
+    k_hop_ball,
     k_hop_expand,
     personalized_pagerank,
     top_k_expansion,
@@ -103,6 +110,113 @@ class TestPPR:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "SinglePartition" not in plan
+
+
+class TestKHopBall:
+    def test_per_seed_balls_stay_separate(self, spark):
+        got = {
+            (r.seed, r.node): r.hop
+            for r in k_hop_ball(
+                _edges(spark), _seeds(spark, ["a", "e"]), 2
+            ).collect()
+        }
+        assert got == {
+            ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2,
+            ("e", "e"): 0, ("e", "f"): 1,
+        }
+
+
+class TestDfsExpand:
+    def test_chain_graph_order(self, spark):
+        # from a: visit b (smallest nbr), then c, then d vs g — g > d
+        # lexicographically so d first
+        rows = dfs_expand(
+            _edges(spark), _seeds(spark, ["a"]), k=10
+        ).collect()
+        got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
+        assert got == ["b", "c", "d", "g"]
+        assert [r.visit_order for r in sorted(rows, key=lambda r: r.visit_order)] == [1, 2, 3, 4]
+
+    def test_count_bound_and_seed_excluded(self, spark):
+        rows = dfs_expand(_edges(spark), _seeds(spark, ["a"]), k=2).collect()
+        got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
+        assert got == ["b", "c"]
+        assert "a" not in got
+
+    def test_isolated_seed_emits_nothing(self, spark):
+        rows = dfs_expand(_edges(spark), _seeds(spark, ["zz"]), k=5).collect()
+        assert rows == []
+
+    def test_matches_python_walk_on_random_graph(self, spark):
+        rng = random.Random(7)
+        nodes = [str(i) for i in range(30)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(60)
+            }
+        )
+        seeds = ["0", "1", "2"]
+        got = {}
+        for r in dfs_expand(
+            _edges(spark, edges), _seeds(spark, seeds), k=8
+        ).collect():
+            got.setdefault(r.seed, {})[r.visit_order] = r.node
+        for s in seeds:
+            order = [got.get(s, {})[i] for i in range(1, len(got.get(s, {})) + 1)]
+            assert order == _simple_dfs(edges, s, 8), s
+
+
+def _simple_dfs(edges, seed, k):
+    """Plain mirror of the pinned semantics for the random-graph test."""
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    vset, visited, stack = set(), [], [seed]
+    while stack and len(visited) < k:
+        v = stack.pop()
+        if v in vset:
+            continue
+        vset.add(v)
+        if v != seed:
+            visited.append(v)
+        stack.extend(
+            n for n in sorted(adj.get(v, ()), reverse=True) if n not in vset
+        )
+    return visited
+
+
+class TestExpansionDot:
+    def test_exact_dot_text(self, spark):
+        ball = k_hop_ball(_edges(spark), _seeds(spark, ["a"]), 2)
+        rows = expansion_dot(ball, top_n=5).collect()
+        assert len(rows) == 1
+        assert rows[0].dot == (
+            'graph "a" {\n'
+            '  "a" -- "b";\n'
+            '  "a" -- "c";\n'
+            "}"
+        )
+
+    def test_top_n_truncates_by_hop_then_node(self, spark):
+        ball = k_hop_ball(_edges(spark), _seeds(spark, ["c"]), 1)
+        # c's 1-hop neighbors: b, d, g -> top 2 = b, d
+        rows = expansion_dot(ball, top_n=2).collect()
+        assert rows[0].dot == (
+            'graph "c" {\n'
+            '  "c" -- "b";\n'
+            '  "c" -- "d";\n'
+            "}"
+        )
+
+    def test_plan_is_pure_jvm(self, spark):
+        ball = k_hop_ball(_edges(spark), _seeds(spark, ["a"]), 2)
+        plan = (
+            expansion_dot(ball)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
 
 
 class TestTrecSink:
