@@ -29,9 +29,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -92,12 +94,19 @@ def run_pipeline(
         executor_cores=exec_cores,
     )
     if warmup_entities:
-        with tempfile.TemporaryDirectory() as wwh:
-            Pipeline(
-                spark,
-                wwh,
-                synth_cfg=SynthConfig(n_entities=warmup_entities, seed=7),
-            ).run(evaluate=False)
+        wwh = tempfile.mkdtemp(prefix="cel_warmup_")
+        Pipeline(
+            spark,
+            wwh,
+            synth_cfg=SynthConfig(n_entities=warmup_entities, seed=7),
+        ).run(evaluate=False)
+        # delete the warm-up warehouse off-thread: rmtree of a few
+        # thousand parquet files blocked the driver ~40s (eventlog:
+        # a 40s job gap between warm-up and measured run) — wall-only
+        # cost, but it slows every campaign leg
+        threading.Thread(
+            target=shutil.rmtree, args=(wwh, True), daemon=True
+        ).start()
     with tempfile.TemporaryDirectory() as wh:
         pipe = Pipeline(
             spark, wh, synth_cfg=SynthConfig(n_entities=entities, seed=seed)

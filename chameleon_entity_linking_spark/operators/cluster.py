@@ -62,6 +62,17 @@ DRIVER_FINISH_MAX_EDGES = 10_000_000
 # (~500MB of ids ~= 2% of heap) -> ~410 edges/MB (so the repo's 24g
 # default reaches the full ceiling; a 1g driver gets ~420k)
 _EDGES_PER_DRIVER_MB = 410
+# Above this edge count, one distributed small-star round runs before
+# the driver contraction. ER edge sets are clique-heavy (a duplicate
+# group of size g arrives as up to C(g,2) scored edges); small-star
+# collapses each clique to a star in one pass, so the driver then
+# collects ~one edge per node instead of the full quadratic set.
+# Measured at the 3.5M-doc bench corpus: the contraction epilogue was
+# a 15s width-invariant driver pause (arrow factorize + numpy UF over
+# ~6.7M string-id edges); the pre-pass replaces most of it with a
+# distributed shuffle that scales with executors. Below the threshold
+# the pre-pass job costs more than the driver seconds it saves.
+_CONTRACT_PREPASS_MIN_EDGES = 1_500_000
 
 
 def _parse_jvm_mem_mb(mem: str) -> float:
@@ -161,7 +172,9 @@ def _checkpoint_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple]:
     return e, (int(got["n"]), int(got["h"]))
 
 
-def _driver_contract(e: DataFrame) -> DataFrame:
+def _driver_contract(
+    e: DataFrame, known_edges: int | None = None
+) -> DataFrame:
     """Driver-side contraction epilogue: min-label propagation with
     pointer jumping over the (bounded) collected edge set — fully
     vectorized numpy, O(E) memory, O(E log V) work.
@@ -175,11 +188,26 @@ def _driver_contract(e: DataFrame) -> DataFrame:
     of a single-partition shuffle. At 10^12-doc scale the frontier is
     ~10^12 edges and this path cannot trigger until the star forest
     has already collapsed below the bound.
+
+    When ``known_edges`` exceeds ``_CONTRACT_PREPASS_MIN_EDGES``, one
+    distributed small-star round (+dedup) runs first: ER edge sets
+    are clique-heavy, and the pre-pass collapses cliques to stars so
+    the driver-side factorize/union-find sees ~one edge per node
+    instead of the quadratic set. Small-star preserves connected
+    components (the algorithm's standard invariant), so the output is
+    identical; only where the work runs changes — from a
+    width-invariant driver pause into a shuffle that scales with the
+    cluster.
     """
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if (
+        known_edges is not None
+        and known_edges > _CONTRACT_PREPASS_MIN_EDGES
+    ):
+        e = _dedup(_small_star(e))
     spark = e.sparkSession
     id_type = e.schema["src"].dataType
     out_schema = T.StructType(
@@ -292,14 +320,14 @@ def connected_components(
         driver_finish_max_edges = _driver_contract_bound(edges.sparkSession)
     if canonical_count is not None:
         if canonical_count <= driver_finish_max_edges:
-            return _driver_contract(e)
+            return _driver_contract(e, known_edges=canonical_count)
         # a (count, None) sentinel can never equal a real round
         # fingerprint, so convergence detection is unaffected
         prev_fp: tuple = (canonical_count, None)
     else:
         e, prev_fp = _checkpoint_with_fingerprint(_dedup(e))
         if prev_fp[0] <= driver_finish_max_edges:
-            return _driver_contract(e)
+            return _driver_contract(e, known_edges=prev_fp[0])
     for _ in range(max_rounds):
         # one dedup per round (fingerprint comparison needs a set, and
         # it bounds growth); the stars themselves tolerate duplicates
@@ -309,6 +337,9 @@ def connected_components(
         if fp == prev_fp:
             break
         if fp[0] <= driver_finish_max_edges:
+            # no known_edges: this round already ended in small-star +
+            # dedup, so the clique-collapsing pre-pass would be a
+            # redundant second pass over an already-starred edge set
             return _driver_contract(e)
         prev_fp = fp
     else:

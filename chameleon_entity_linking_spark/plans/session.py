@@ -71,6 +71,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Profiling hook: SPARK_GRAFT_EVENTLOG_DIR turns on the standard
+    # Spark history eventlog (how every perf claim in bench/SCALING.md
+    # is attributed — per-stage task time, GC, spill, stragglers).
+    # Default off: the log is ~100MB/run at bench scale.
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

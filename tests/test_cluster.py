@@ -139,6 +139,48 @@ class TestConnectedComponents:
         got = _run_cc(spark, nodes, edges, driver_finish_max_edges=500)
         assert set(got.values()) == {"c0000"}
 
+    @pytest.mark.parametrize("via_canonical_count", [False, True])
+    def test_contract_prepass_identical(
+        self, spark, monkeypatch, via_canonical_count
+    ):
+        # above _CONTRACT_PREPASS_MIN_EDGES one distributed small-star
+        # round runs before the driver collect; the components must be
+        # identical to the plain contraction. Clique-heavy input (the
+        # ER shape the pre-pass exists for) + a chain + a singleton
+        # pair, via both entry paths (observed count and the
+        # canonical_count fast path).
+        from chameleon_entity_linking_spark.operators import cluster as cl
+
+        monkeypatch.setattr(cl, "_CONTRACT_PREPASS_MIN_EDGES", 5)
+        rng = np.random.RandomState(3)
+        nodes = [f"p{i:02d}" for i in range(24)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.choice(nodes, 2, replace=False)))
+                for _ in range(40)
+            }
+        )
+        if via_canonical_count:
+            edges_df = spark.createDataFrame(
+                edges, "doc_a string, doc_b string"
+            )
+            got = dict(
+                connected_components(
+                    edges_df,
+                    driver_finish_max_edges=1_000_000,
+                    canonical_count=len(edges),
+                ).collect()
+            )
+            want = _uf_oracle(nodes, edges)
+            want = {k: v for k, v in want.items() if k != v or any(
+                k in e for e in edges
+            )}
+            assert all(got[k] == want[k] for k in got)
+        else:
+            assert _run_cc(
+                spark, nodes, edges, driver_finish_max_edges=1_000_000
+            ) == _uf_oracle(nodes, edges)
+
     def test_driver_contract_int_ids(self, spark):
         # the epilogue must preserve non-string id types end-to-end
         edges_df = spark.createDataFrame(
