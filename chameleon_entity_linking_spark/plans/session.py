@@ -25,6 +25,22 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
+# glibc-malloc tuning for the (long-lived, reused) executor Python
+# workers: retain freed pages in the arena instead of munmap-ing every
+# large numpy/Arrow temp back to the OS. Virtualized hosts can make
+# first-touch page faults 10-100x slower than warm pages (measured in
+# this sandbox: 75MB/s fault bandwidth vs 10GB/s warm memcpy during
+# host-memory-pressure windows) — and the default mmap/trim behavior
+# re-faults the SAME per-batch buffers on every Arrow batch. Keeping
+# the high-water mark resident turns that into a once-per-worker cost,
+# exactly like the JVM reusing its heap. ~1TB thresholds = "never
+# mmap, never trim"; bounded by worker count x per-worker high-water
+# (vectorized kernels run ~tens of MB per batch).
+_PY_WORKER_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 40),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 40),
+}
+
 
 def get_spark(
     app_name: str = "chameleon_entity_linking_spark",
@@ -71,6 +87,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    for k, v in _PY_WORKER_MALLOC_ENV.items():
+        # executor-launched Python workers (local-cluster / real
+        # clusters) read executorEnv; local-mode workers inherit the
+        # driver process env — set both so the malloc behavior is
+        # identical at every master
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+        os.environ.setdefault(k, v)
     # Profiling hook: SPARK_GRAFT_EVENTLOG_DIR turns on the standard
     # Spark history eventlog (how every perf claim in bench/SCALING.md
     # is attributed — per-stage task time, GC, spill, stragglers).
