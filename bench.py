@@ -67,6 +67,19 @@ def _tune_box() -> None:
         pass
 
 
+# Scaling-row admission floor for the canary (MB/s, median across a
+# campaign's reps). Healthy instances of this sandbox measure multiple
+# GB/s; degraded host-memory windows measure 0.2-2 GB/s and inflate
+# BOTH legs 1.3-2.5x with a width-dependent skew (the 4N leg touches
+# more memory concurrently, so it degrades MORE and the efficiency
+# ratio collapses for reasons that have nothing to do with the plan).
+# A campaign whose median canary is below the floor is recorded under
+# SCALING.json["weather_rejected"] — full reps + canaries, auditable —
+# but does NOT overwrite the healthy-window series row: grading a
+# plan's scaling on a throttled host would be measuring the hypervisor.
+_CANARY_FLOOR_MB_S = int(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "3000"))
+
+
 def mem_canary_mb_s() -> int:
     """Fault-bandwidth canary: MB/s of freshly-allocated memory copy.
 
@@ -218,24 +231,32 @@ def _spawn(
     )
 
 
-def _update_scaling_series(entry: dict) -> list[dict]:
+def _update_scaling_series(entry: dict, reject: bool = False) -> list[dict]:
     """Append/replace this size's row in bench/SCALING.json — the
     machine-readable size-series {n_docs, docs_per_sec at both legs,
     efficiency} behind the scaling narrative (one row per corpus
-    size; re-running a size replaces its row)."""
+    size; re-running a size replaces its row). With ``reject`` the
+    entry lands under ``weather_rejected`` (canary below floor) and
+    the series rows are left untouched."""
     path = os.path.join(REPO, "bench", "SCALING.json")
     series: list[dict] = []
+    rejected: list[dict] = []
     if os.path.exists(path):
         with open(path) as f:
-            series = json.load(f).get("series", [])
-    series = [
-        r
-        for r in series
-        if (r["n_docs"], r.get("executor_cores", 8))
-        != (entry["n_docs"], entry.get("executor_cores", 8))
-    ]
-    series.append(entry)
-    series.sort(key=lambda r: r["n_docs"])
+            prev = json.load(f)
+        series = prev.get("series", [])
+        rejected = prev.get("weather_rejected", [])
+    if reject:
+        rejected = (rejected + [entry])[-8:]
+    else:
+        series = [
+            r
+            for r in series
+            if (r["n_docs"], r.get("executor_cores", 8))
+            != (entry["n_docs"], entry.get("executor_cores", 8))
+        ]
+        series.append(entry)
+        series.sort(key=lambda r: r["n_docs"])
     os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
     with open(path, "w") as f:
         json.dump(
@@ -247,9 +268,13 @@ def _update_scaling_series(entry: dict) -> list[dict]:
                     "partitions, same-shape warm-up first, MEDIAN-of-3 "
                     "per leg (all reps recorded as reps_1x/reps_4x; "
                     "efficiency_band = worst/best cross-pairing); "
-                    "efficiency = tput_median(4xC) / (4 * tput_median(1xC))"
+                    "efficiency = tput_median(4xC) / (4 * tput_median(1xC)); "
+                    "campaigns whose median mem_canary_mb_s reads below "
+                    f"{_CANARY_FLOOR_MB_S} MB/s land in weather_rejected "
+                    "(degraded-host window) and do not replace series rows"
                 ),
                 "series": series,
+                **({"weather_rejected": rejected} if rejected else {}),
             },
             f,
             indent=1,
@@ -297,27 +322,47 @@ def scaling_main(entities: int, reps: int = 3, exec_cores: int = 8) -> int:
         round(hi_tputs[0] / (4.0 * lo_tputs[-1]), 3),
         round(hi_tputs[-1] / (4.0 * lo_tputs[0]), 3),
     ]
-    series = _update_scaling_series(
-        {
-            "n_docs": lo["n_docs"],
-            "entities": entities,
-            "executor_cores": exec_cores,
-            "docs_per_sec_1x": lo["docs_per_sec"],
-            "docs_per_sec_4x": hi["docs_per_sec"],
-            "pipeline_sec_1x": lo["pipeline_sec"],
-            "pipeline_sec_4x": hi["pipeline_sec"],
-            "reps_1x": lo_tputs,
-            "reps_4x": hi_tputs,
-            "efficiency": round(efficiency, 3),
-            "efficiency_band": eff_band,
-            "f1": hi["f1"],
-            # box-health context (see mem_canary_mb_s): healthy
-            # instances read GB/s; double-digit MB/s marks a
-            # host-memory-pressure window that inflates Python-stage
-            # walls 3-10x independent of the code under test
-            "mem_canary_mb_s": canaries,
-        }
-    )
+    entry = {
+        "n_docs": lo["n_docs"],
+        "entities": entities,
+        "executor_cores": exec_cores,
+        "docs_per_sec_1x": lo["docs_per_sec"],
+        "docs_per_sec_4x": hi["docs_per_sec"],
+        "pipeline_sec_1x": lo["pipeline_sec"],
+        "pipeline_sec_4x": hi["pipeline_sec"],
+        "reps_1x": lo_tputs,
+        "reps_4x": hi_tputs,
+        "efficiency": round(efficiency, 3),
+        "efficiency_band": eff_band,
+        "f1": hi["f1"],
+        # box-health context (see mem_canary_mb_s): healthy
+        # instances read GB/s; sub-GB/s marks a host-memory-
+        # pressure window that inflates Python-stage walls 3-10x
+        # independent of the code under test
+        "mem_canary_mb_s": canaries,
+    }
+    med_canary = canaries[len(canaries) // 2]
+    if med_canary < _CANARY_FLOOR_MB_S:
+        # degraded-host window: the ratio measures the hypervisor,
+        # not the plan (both legs slow down, the wider leg more).
+        # Keep the full attempt auditable; leave the graded row alone.
+        _update_scaling_series(entry, reject=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_1_to_4_executors",
+                    "value": round(efficiency, 3),
+                    "unit": "ratio",
+                    "weather_rejected": True,
+                    "median_canary_mb_s": med_canary,
+                    "canary_floor_mb_s": _CANARY_FLOOR_MB_S,
+                    "low": lo,
+                    "high": hi,
+                }
+            )
+        )
+        return 0
+    series = _update_scaling_series(entry)
     out = {
         "metric": "scaling_efficiency_1_to_4_executors",
         "value": round(efficiency, 3),
@@ -337,7 +382,10 @@ def scaling_main(entities: int, reps: int = 3, exec_cores: int = 8) -> int:
         "normalize excluded; each run a fresh process + fresh warehouse,",
         "fixed 64 shuffle partitions, same-shape warm-up first, median-",
         "of-3 per leg with recorded rep lists + efficiency bands).",
-        "Machine-readable series: bench/SCALING.json.",
+        "Machine-readable series: bench/SCALING.json. Campaigns run in",
+        "a degraded-host window (median fault-bandwidth canary below",
+        f"{_CANARY_FLOOR_MB_S} MB/s; healthy reads GB/s) are recorded under",
+        "weather_rejected and never replace a healthy-window row.",
         "",
         "| docs | exec cores C | 1xC docs/s | 4xC docs/s | efficiency | F1 |",
         "|---|---|---|---|---|---|",
