@@ -1698,6 +1698,110 @@ JOIN g gb ON gb.doc_id = pairs.doc_b
 
 
 # --------------------------------------------------------------------------
+# Training surface (B4) — operators/train.py
+# --------------------------------------------------------------------------
+
+
+def q_training_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """B4 MarginMSE training-triple assembly (train.margin_mse_triples):
+    per query (vec_id < 10) the cosine top-1 corpus vector is the
+    positive, ranks 2-5 the hard negatives (num_negs_per_system=4,
+    `BiEncoder/train.py:23`), labeled with the teacher margin
+    (`BiEncoder/model.py:426-428`); capped at 36 triples to exercise
+    the deterministic max_passages-style bound
+    (`BiEncoder/train.py:21,98`)."""
+    from chameleon_entity_linking_spark.operators.train import (
+        margin_mse_triples,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id", "embedding")
+    c = emb.where(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    return margin_mse_triples(q, c, num_negs=4, max_triples=36)
+
+
+SQL_TRAINING_TRIPLES = f"""
+WITH ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           round({_sql_dot('q.embedding', 'c.embedding')}
+                 / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                    * sqrt({_sql_dot('c.embedding', 'c.embedding')})), 6) AS cosine
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id >= 10
+  )
+)
+SELECT p.qid, p.cid AS pos_id, n.cid AS neg_id,
+       n.rank - 1 AS neg_rank,
+       round(p.cosine - n.cosine, 6) AS margin
+FROM ranked p JOIN ranked n USING (qid)
+WHERE p.rank = 1 AND n.rank BETWEEN 2 AND 5
+ORDER BY qid, neg_rank LIMIT 36
+"""
+
+
+def q_learned_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """B4 distributed trainer (train.fit_logistic_weights): fit the
+    engine's learnable score-mix weights by full-batch logistic GD —
+    one JVM aggregation job per iteration — on labeled embedding
+    pairs (y = same `label`; features cosine + sign-agreement, the
+    embedding terms of the rerank mix). Iterative => no SQL oracle
+    (rows-only driver check); exact parity with an independent numpy
+    trainer is asserted in tests/test_train.py."""
+    from chameleon_entity_linking_spark.operators.train import (
+        fit_logistic_weights,
+    )
+
+    emb = load(spark, sf, "embeddings").where(F.col("vec_id") < 60)
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    sign_agree = (
+        F.aggregate(
+            F.zip_with(
+                "va",
+                "vb",
+                lambda x, y: F.when(x * y >= 0, F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("va")
+    )
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            cos.alias("s_cos"),
+            sign_agree.alias("s_sign"),
+            (F.col("la") == F.col("lb")).cast("int").alias("y"),
+        )
+    )
+    weights, _hist = fit_logistic_weights(
+        pairs, ["s_cos", "s_sign"], iters=30, lr=2.0
+    )
+    spark_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "term string, weight double",
+    )
+    return spark_df
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1738,4 +1842,7 @@ REGISTRY: dict = {
     "ann_ivf_probe2": (q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "training_triples": (q_training_triples, SQL_TRAINING_TRIPLES),
+    # iterative GD: genuinely non-SQL-expressible; numpy-parity pytest
+    "learned_mix_weights": (q_learned_mix_weights, None),
 }

@@ -1,0 +1,238 @@
+"""B4 training surface: distributed triple assembly + mix-weight GD.
+
+The trainer's correctness gate is exact-math parity with an
+independent single-node numpy implementation (same iteration count,
+same clamped log-loss) — the analogue of the CC operator's union-find
+oracle. The assembly query additionally has a full DuckDB oracle in
+the driver registry (training_triples)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chameleon_entity_linking_spark.operators.train import (
+    fit_logistic_weights,
+    fit_logistic_weights_numpy,
+    margin_mse_triples,
+    mix_weight_training_set,
+)
+
+
+def _toy_vectors(n_q=3, n_c=12, dim=8, seed=5):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n_q + n_c, dim)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v[:n_q], v[n_q:]
+
+
+class TestMarginMseTriples:
+    def test_matches_brute_force(self, spark):
+        qv, cv = _toy_vectors()
+        q = spark.createDataFrame(
+            [(i, [float(x) for x in qv[i]]) for i in range(len(qv))],
+            "id long, embedding array<double>",
+        )
+        c = spark.createDataFrame(
+            [(100 + i, [float(x) for x in cv[i]]) for i in range(len(cv))],
+            "id long, embedding array<double>",
+        )
+        got = {
+            (r.qid, r.pos_id, r.neg_id, r.neg_rank): r.margin
+            for r in margin_mse_triples(q, c, num_negs=4).collect()
+        }
+        # independent derivation: numpy cosine, same rounding
+        cos = np.round(qv @ cv.T, 6)
+        want = {}
+        for qi in range(len(qv)):
+            order = sorted(
+                range(len(cv)), key=lambda j: (-cos[qi, j], 100 + j)
+            )
+            pos = order[0]
+            for rank, j in enumerate(order[1:5], start=1):
+                want[(qi, 100 + pos, 100 + j, rank)] = round(
+                    float(cos[qi, pos] - cos[qi, j]), 6
+                )
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+    def test_max_triples_cap_is_deterministic_prefix(self, spark):
+        qv, cv = _toy_vectors()
+        q = spark.createDataFrame(
+            [(i, [float(x) for x in qv[i]]) for i in range(len(qv))],
+            "id long, embedding array<double>",
+        )
+        c = spark.createDataFrame(
+            [(100 + i, [float(x) for x in cv[i]]) for i in range(len(cv))],
+            "id long, embedding array<double>",
+        )
+        full = margin_mse_triples(q, c, num_negs=4).orderBy(
+            "qid", "neg_rank"
+        )
+        capped = margin_mse_triples(q, c, num_negs=4, max_triples=7)
+        assert capped.count() == 7
+        assert sorted(
+            map(tuple, capped.collect())
+        ) == sorted(map(tuple, full.limit(7).collect()))
+
+    def test_num_negs_bound(self, spark):
+        qv, cv = _toy_vectors()
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in qv[0]])],
+            "id long, embedding array<double>",
+        )
+        c = spark.createDataFrame(
+            [(100 + i, [float(x) for x in cv[i]]) for i in range(len(cv))],
+            "id long, embedding array<double>",
+        )
+        out = margin_mse_triples(q, c, num_negs=2).collect()
+        assert len(out) == 2
+        assert all(r.margin >= 0 for r in out)  # pos is rank-1
+
+
+class TestFitLogisticWeights:
+    def _training_frame(self, spark, n=400, seed=11):
+        rng = np.random.RandomState(seed)
+        y = (rng.rand(n) < 0.5).astype(float)
+        # separable-ish: feature means shift with the class
+        x1 = rng.randn(n) * 0.4 + y * 1.5
+        x2 = rng.randn(n) * 0.4 - y * 0.8
+        df = spark.createDataFrame(
+            [
+                (float(a), float(b), float(c))
+                for a, b, c in zip(x1, x2, y)
+            ],
+            "f1 double, f2 double, y double",
+        )
+        X = np.stack([x1, x2], axis=1)
+        return df, X, y
+
+    def test_matches_numpy_oracle(self, spark):
+        df, X, y = self._training_frame(spark)
+        got, hist = fit_logistic_weights(
+            df, ["f1", "f2"], label_col="y", iters=25, lr=1.5
+        )
+        w, b, hist_np = fit_logistic_weights_numpy(
+            X, y, iters=25, lr=1.5
+        )
+        assert got["bias"] == pytest.approx(b, abs=1e-8)
+        assert got["f1"] == pytest.approx(w[0], abs=1e-8)
+        assert got["f2"] == pytest.approx(w[1], abs=1e-8)
+        assert hist == pytest.approx(hist_np, abs=1e-8)
+        # loss decreased — GD actually trained
+        assert hist[-1] < hist[0]
+
+    def test_l2_matches_numpy(self, spark):
+        df, X, y = self._training_frame(spark, seed=13)
+        got, _ = fit_logistic_weights(
+            df, ["f1", "f2"], label_col="y", iters=10, lr=1.0, l2=0.05
+        )
+        w, b, _ = fit_logistic_weights_numpy(
+            X, y, iters=10, lr=1.0, l2=0.05
+        )
+        assert got["f1"] == pytest.approx(w[0], abs=1e-8)
+        assert got["f2"] == pytest.approx(w[1], abs=1e-8)
+
+    def test_learned_weights_classify(self, spark):
+        df, X, y = self._training_frame(spark, n=600, seed=17)
+        got, _ = fit_logistic_weights(
+            df, ["f1", "f2"], label_col="y", iters=60, lr=2.0
+        )
+        z = X @ np.array([got["f1"], got["f2"]]) + got["bias"]
+        acc = float(((z > 0) == (y > 0.5)).mean())
+        assert acc >= 0.95
+
+    def test_empty_training_set_raises(self, spark):
+        df = spark.createDataFrame([], "f1 double, y double")
+        with pytest.raises(ValueError):
+            fit_logistic_weights(df, ["f1"], label_col="y", iters=1)
+
+    def test_iteration_plan_is_pure_jvm(self, spark):
+        """The per-iteration aggregation must never drop into a Python
+        UDF — BatchEvalPython/ArrowEvalPython in the plan would mean
+        per-iteration Python round-trips at corpus scale."""
+        df, _, _ = self._training_frame(spark, n=50)
+        cached = df.select(
+            F.col("f1").cast("double"),
+            F.col("f2").cast("double"),
+            F.col("y").alias("_y"),
+        )
+        margin = F.lit(0.1) + F.lit(0.2) * F.col("f1") + F.lit(
+            -0.3
+        ) * F.col("f2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        agg = cached.agg(
+            F.sum(p - F.col("_y")).alias("g0"),
+            F.sum((p - F.col("_y")) * F.col("f1")).alias("g1"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "HashAggregate" in plan  # map-side partial aggregation
+
+
+class TestMixWeightTrainingSet:
+    def test_join_shape_and_labels(self, spark):
+        scored = spark.createDataFrame(
+            [
+                ("a", "b", 0.9, 0.8, 0.7, 0.6, 0.0),
+                ("a", "c", 0.2, 0.1, 0.0, 0.3, 0.0),
+                ("x", "y", 0.5, 0.5, 0.5, 0.5, 1.0),
+            ],
+            "doc_a string, doc_b string, s_jw double, s_lev double,"
+            " s_tok double, s_cos double, s_media double",
+        )
+        labels = spark.createDataFrame(
+            [("a", "b", True), ("a", "c", False)],
+            "doc_a string, doc_b string, is_dup boolean",
+        )
+        rows = mix_weight_training_set(scored, labels).collect()
+        assert len(rows) == 2  # unlabeled pair dropped
+        by_y = {r.y: r for r in rows}
+        assert by_y[1].s_jw == pytest.approx(0.9)
+        assert by_y[0].s_cos == pytest.approx(0.3)
+
+    def test_fits_on_pipeline_features(self, spark):
+        """End-to-end tie-in: learned weights on real scored features
+        separate duplicate from non-duplicate pairs."""
+        rng = np.random.RandomState(3)
+        n = 300
+        y = (rng.rand(n) < 0.4).astype(float)
+        rows = []
+        for i, yi in enumerate(y):
+            base = 0.85 if yi else 0.35
+            feat = np.clip(base + rng.randn(4) * 0.08, 0, 1)
+            rows.append(
+                (f"d{i}a", f"d{i}b", *map(float, feat), 0.0, bool(yi))
+            )
+        df = spark.createDataFrame(
+            rows,
+            "doc_a string, doc_b string, s_jw double, s_lev double,"
+            " s_tok double, s_cos double, s_media double, is_dup boolean",
+        )
+        train = mix_weight_training_set(
+            df.drop("is_dup"), df.select("doc_a", "doc_b", "is_dup")
+        )
+        weights, hist = fit_logistic_weights(
+            train,
+            ["s_jw", "s_lev", "s_tok", "s_cos", "s_media"],
+            iters=40,
+            lr=2.0,
+        )
+        assert hist[-1] < hist[0] * 0.7
+        # positive-class features are higher -> learned weights must
+        # give duplicates higher scores than non-duplicates
+        pdf = train.toPandas()
+        z = (
+            weights["bias"]
+            + pdf[["s_jw", "s_lev", "s_tok", "s_cos", "s_media"]]
+            @ np.array(
+                [
+                    weights[c]
+                    for c in ["s_jw", "s_lev", "s_tok", "s_cos", "s_media"]
+                ]
+            )
+        )
+        acc = float(((z > 0) == (pdf["y"] > 0.5)).mean())
+        assert acc >= 0.97
