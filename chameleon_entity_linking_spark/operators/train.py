@@ -46,6 +46,7 @@ def margin_mse_triples(
     corpus: DataFrame,
     num_negs: int = 4,
     max_triples: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Assemble MarginMSE training triples from embedding tables.
 
@@ -62,7 +63,14 @@ def margin_mse_triples(
 
     Scale shape: queries broadcast (training query sets are ~1e5-1e6
     rows — tiny next to a 10^12-doc corpus); the corpus side streams
-    through one projection + per-query top-(num_negs+1) window. Output
+    through one projection + per-query top-(num_negs+1) window. The
+    default exhaustive query×corpus scoring is the FAISS-IndexFlat
+    analogue (`BiEncoder/test_retrieval.py:51`) — exact, but linear
+    scans per query. Past broadcast/bench scale pass ``candidates``:
+    a (qid, cid) pair table from the blocking/ANN family (e.g.
+    ``ann_ivf_probe2``'s cell join), and only those pairs are scored
+    — the same retrieve-then-rank bound the reference's top-1000
+    truncation applies, and no cross join ever materializes. Output
     columns: (qid, pos_id, neg_id, neg_rank, margin).
     """
     q = queries.select(
@@ -82,10 +90,16 @@ def margin_mse_triples(
         F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = dot / (norm(F.col("qv")) * norm(F.col("cv")))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+    if candidates is not None:
+        paired = (
+            candidates.select("qid", "cid")
+            .join(q, "qid")
+            .join(c, "cid")
+        )
+    else:
+        paired = F.broadcast(q).crossJoin(c)
+    scored = paired.select(
+        "qid", "cid", F.round(cos, 6).alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     ranked = scored.withColumn("rank", F.row_number().over(w)).where(

@@ -236,3 +236,41 @@ class TestMixWeightTrainingSet:
         )
         acc = float(((z > 0) == (pdf["y"] > 0.5)).mean())
         assert acc >= 0.97
+
+
+class TestCandidateBoundedTriples:
+    def test_candidates_restrict_scoring(self, spark):
+        """Scale path: with a candidate pair table, only listed pairs
+        are scored (retrieve-then-rank bound) — the triples equal the
+        brute-force ones computed over the candidate subset."""
+        qv, cv = _toy_vectors()
+        q = spark.createDataFrame(
+            [(i, [float(x) for x in qv[i]]) for i in range(len(qv))],
+            "id long, embedding array<double>",
+        )
+        c = spark.createDataFrame(
+            [(100 + i, [float(x) for x in cv[i]]) for i in range(len(cv))],
+            "id long, embedding array<double>",
+        )
+        # candidates: even corpus ids only
+        cand = spark.createDataFrame(
+            [(qi, 100 + j) for qi in range(len(qv))
+             for j in range(len(cv)) if j % 2 == 0],
+            "qid long, cid long",
+        )
+        got = sorted(
+            map(tuple, margin_mse_triples(
+                q, c, num_negs=3, candidates=cand).collect())
+        )
+        cos = np.round(qv @ cv.T, 6)
+        want = []
+        for qi in range(len(qv)):
+            evens = [j for j in range(len(cv)) if j % 2 == 0]
+            order = sorted(evens, key=lambda j: (-cos[qi, j], 100 + j))
+            pos = order[0]
+            for rank, j in enumerate(order[1:4], start=1):
+                want.append(
+                    (qi, 100 + pos, 100 + j, rank,
+                     round(float(cos[qi, pos] - cos[qi, j]), 6))
+                )
+        assert [t[:4] for t in got] == [t[:4] for t in sorted(want)]
