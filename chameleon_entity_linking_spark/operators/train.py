@@ -233,26 +233,71 @@ def fit_logistic_weights_numpy(
     return w, b, history
 
 
+MIX_FEATURES = ["s_jw", "s_lev", "s_tok", "s_cos", "s_media"]
+
+
 def mix_weight_training_set(
-    scored: DataFrame, labels: DataFrame
+    scored: DataFrame, labels: DataFrame, label_col: str = "is_match"
 ) -> DataFrame:
     """Join the scoring stage's per-feature columns with labeled pairs
     to produce the mix-weight training table: (s_jw, s_lev, s_tok,
     s_cos, s_media, y). ``labels`` carries canonical (doc_a, doc_b,
-    is_dup); pairs the blocker never generated are absent here — the
-    trainer calibrates the mix at the operating point the cascade
-    actually scores, the same conditioning the reference's
-    cross-encoder gets from training on retrieved (not random)
-    negatives (`CrossEncoder/train.py:60-95`).
+    <label_col>) — the synth/pipeline labels table's shape; pairs the
+    blocker never generated are absent here — the trainer calibrates
+    the mix at the operating point the cascade actually scores, the
+    same conditioning the reference's cross-encoder gets from training
+    on retrieved (not random) negatives (`CrossEncoder/train.py:60-95`).
     """
     return scored.join(labels, ["doc_a", "doc_b"]).select(
-        "s_jw",
-        "s_lev",
-        "s_tok",
-        "s_cos",
-        "s_media",
-        F.col("is_dup").cast("int").alias("y"),
+        *MIX_FEATURES,
+        F.col(label_col).cast("int").alias("y"),
     )
+
+
+def calibrate_mix(
+    scored: DataFrame,
+    labels: DataFrame,
+    label_col: str = "is_match",
+    iters: int = 40,
+    lr: float = 2.0,
+) -> tuple[dict[str, float], float]:
+    """Learn a ScoreConfig-shaped weight set from labeled scored pairs.
+
+    Fits the logistic mix on the committed ``scores`` table's feature
+    columns, then maps the learned hyperplane onto ScoreConfig's
+    parameterization: negative weights clamp to 0 (features are
+    similarities; a negative learned weight means the feature carries
+    no signal at this operating point, and the scoring cascade's
+    lossless upper bound requires non-negative weights), the rest
+    normalize to sum 1, and the decision boundary ``margin >= -bias``
+    maps to ``threshold = -bias / sum(clamped)``. Clamping moves the
+    boundary only when a weight was materially negative — the returned
+    ``(weights, threshold)`` is a calibration, not an exact re-fit;
+    callers should gate it with pairwise_f1 before adopting it (see
+    tests/test_train.py::test_calibrate_recovers_operating_point).
+
+    Usage::
+
+        w, thr = calibrate_mix(cat.read(spark, "scores"),
+                               cat.read(spark, "labels"))
+        cfg = ScoreConfig(w_text=1.0, w_jw=w["s_jw"], w_lev=w["s_lev"],
+                          w_tok=w["s_tok"], w_cos=w["s_cos"],
+                          w_media=w["s_media"], threshold=thr)
+    """
+    train = mix_weight_training_set(scored, labels, label_col)
+    learned, _hist = fit_logistic_weights(
+        train, MIX_FEATURES, iters=iters, lr=lr
+    )
+    clamped = {c: max(0.0, learned[c]) for c in MIX_FEATURES}
+    total = sum(clamped.values())
+    if total <= 0:
+        raise ValueError(
+            "calibration degenerate: every learned weight <= 0 "
+            "(labels uninformative at this operating point)"
+        )
+    weights = {c: v / total for c, v in clamped.items()}
+    threshold = -learned["bias"] / total
+    return weights, threshold
 
 
 def sigmoid(x: float) -> float:

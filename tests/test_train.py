@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from chameleon_entity_linking_spark.operators.train import (
+    calibrate_mix,
     fit_logistic_weights,
     fit_logistic_weights_numpy,
     margin_mse_triples,
@@ -185,7 +186,7 @@ class TestMixWeightTrainingSet:
         )
         labels = spark.createDataFrame(
             [("a", "b", True), ("a", "c", False)],
-            "doc_a string, doc_b string, is_dup boolean",
+            "doc_a string, doc_b string, is_match boolean",
         )
         rows = mix_weight_training_set(scored, labels).collect()
         assert len(rows) == 2  # unlabeled pair dropped
@@ -209,10 +210,10 @@ class TestMixWeightTrainingSet:
         df = spark.createDataFrame(
             rows,
             "doc_a string, doc_b string, s_jw double, s_lev double,"
-            " s_tok double, s_cos double, s_media double, is_dup boolean",
+            " s_tok double, s_cos double, s_media double, is_match boolean",
         )
         train = mix_weight_training_set(
-            df.drop("is_dup"), df.select("doc_a", "doc_b", "is_dup")
+            df.drop("is_match"), df.select("doc_a", "doc_b", "is_match")
         )
         weights, hist = fit_logistic_weights(
             train,
@@ -274,3 +275,55 @@ class TestCandidateBoundedTriples:
                      round(float(cos[qi, pos] - cos[qi, j]), 6))
                 )
         assert [t[:4] for t in got] == [t[:4] for t in sorted(want)]
+
+
+class TestCalibrateMix:
+    def test_calibrate_recovers_operating_point(self, spark, tmp_path):
+        """End-to-end: run the small pipeline, calibrate the mix on
+        the committed scores+labels, and check the calibrated
+        hyperplane classifies the labeled scored pairs at least as
+        well as chance-free separation requires (pair-level F1)."""
+        from chameleon_entity_linking_spark.plans.pipeline import Pipeline
+        from chameleon_entity_linking_spark.sources.synth import SynthConfig
+
+        pipe = Pipeline(
+            spark,
+            str(tmp_path / "wh"),
+            synth_cfg=SynthConfig(n_entities=150, seed=9),
+        )
+        pipe.run(evaluate=False)
+        scored = pipe.catalog.read(spark, "scores")
+        labels = pipe.catalog.read(spark, "labels")
+        w, thr = calibrate_mix(scored, labels, iters=40, lr=2.0)
+        assert all(v >= 0.0 for v in w.values())
+        assert sum(w.values()) == pytest.approx(1.0, abs=1e-9)
+        # pair-level F1 of the calibrated mix on the labeled pairs
+        feats = ["s_jw", "s_lev", "s_tok", "s_cos", "s_media"]
+        pdf = scored.join(labels, ["doc_a", "doc_b"]).select(
+            *feats, F.col("is_match").cast("int").alias("y")
+        ).toPandas()
+        z = sum(w[c] * pdf[c] for c in feats)
+        pred = (z >= thr).astype(int)
+        tp = int(((pred == 1) & (pdf["y"] == 1)).sum())
+        fp = int(((pred == 1) & (pdf["y"] == 0)).sum())
+        fn = int(((pred == 0) & (pdf["y"] == 1)).sum())
+        prec = tp / (tp + fp) if tp + fp else 1.0
+        rec = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        assert f1 >= 0.98
+
+    def test_degenerate_labels_raise(self, spark):
+        scored = spark.createDataFrame(
+            [("a", "b", 0.9, 0.9, 0.9, 0.9, 0.0),
+             ("c", "d", 0.1, 0.1, 0.1, 0.1, 0.0)],
+            "doc_a string, doc_b string, s_jw double, s_lev double,"
+            " s_tok double, s_cos double, s_media double",
+        )
+        # inverted labels: high-similarity pair is a non-match ->
+        # every informative weight trains negative -> degenerate
+        labels = spark.createDataFrame(
+            [("a", "b", False), ("c", "d", True)],
+            "doc_a string, doc_b string, is_match boolean",
+        )
+        with pytest.raises(ValueError):
+            calibrate_mix(scored, labels, iters=25, lr=2.0)
