@@ -482,14 +482,19 @@ def expand_key_pairs(
     )
     if persisted_out is not None:
         persisted_out.append(counts)
+    # ceiling check FIRST: a family ceiling below hot_key_cap is a
+    # legal config (drop-above-64, never salt), and the expansion
+    # filter below honors ceil_col unconditionally — classifying
+    # "normal" by cap first would report keys as expanded that the
+    # filter silently dropped (metrics must match the pair stream)
     key_metrics = counts.select(
         "key",
         "fam",
         "n_docs",
         F.when(F.col("n_docs") < 2, "singleton")
+        .when(F.col("n_docs") > ceil_col, "dropped")
         .when(F.col("n_docs") <= cap, "normal")
-        .when(F.col("n_docs") <= ceil_col, "salted")
-        .otherwise("dropped")
+        .otherwise("salted")
         .alias("class"),
     )
     # pass 2: filter BEFORE collecting, so no aggregation buffer ever

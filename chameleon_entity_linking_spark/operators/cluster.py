@@ -304,10 +304,12 @@ def connected_components(
     ``driver_finish_max_edges=0`` to force the fully distributed
     path, or an explicit edge count to override the derivation.
 
-    ``canonical_count``: pass the edge table's known row count when
-    the edges are already canonical (doc_a < doc_b, unique) — true for
-    every committed edges snapshot, whose manifest carries the count
-    for free. The initial dedup + standalone fingerprint/checkpoint
+    ``canonical_count``: pass the edge table's known TOTAL row count
+    when the edges are already canonical (doc_a < doc_b, unique) —
+    true for every committed edges snapshot; use the manifest's
+    ``total_rows`` (an append snapshot's ``row_count`` is the delta
+    only, and an undersized count here would collect an oversized
+    edge table onto the driver). The initial dedup + standalone fingerprint/checkpoint
     job is then skipped entirely: a below-bound edge set goes straight
     to the driver contraction, an above-bound one straight into round
     1 (one to two fewer fixed-latency jobs per run — the width-

@@ -80,7 +80,11 @@ def k_hop_expand(
 
 
 def k_hop_ball(
-    edges: DataFrame, seeds: DataFrame, k: int, directed: bool = False
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    directed: bool = False,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Per-seed k-hop neighborhoods: (seed, node, hop) with minimal
     hop distance, one row per (seed, reachable node).
@@ -92,9 +96,13 @@ def k_hop_ball(
     Frontier joins keyed on (seed, node): work is proportional to the
     sum of ball sizes and partitions by hash of both columns, so a
     popular hub node appearing in many balls spreads across tasks.
+
+    ``checkpoint_input=False``: the caller already materialized the
+    (directed) edge table — skip the second copy.
     """
     e = edges if directed else _symmetrize(edges)
-    e = e.localCheckpoint()
+    if checkpoint_input:
+        e = e.localCheckpoint()
     visited = seeds.select(
         F.col("node").alias("seed"), F.col("node"), F.lit(0).alias("hop")
     ).localCheckpoint()
@@ -146,10 +154,12 @@ def dfs_expand(
     returns ``[]`` for them).
     """
     radius = k if ball_hops is None else ball_hops
+    # one materialization, shared by the ball AND the ball-edges join
+    # (checkpoint_input=False stops k_hop_ball re-materializing it)
     e = _symmetrize(edges).localCheckpoint()
-    members = k_hop_ball(e, seeds, radius, directed=True).select(
-        "seed", "node"
-    )
+    members = k_hop_ball(
+        e, seeds, radius, directed=True, checkpoint_input=False
+    ).select("seed", "node")
     ball_edges = members.join(e, members["node"] == e["src"]).select(
         "seed", "src", "dst"
     )
@@ -184,8 +194,11 @@ def dfs_expand(
             }
         )
 
+    # id type follows the input (every other graph operator is
+    # id-type generic — bigint edge tables must work here too)
+    id_t = edges.schema["src"].dataType.simpleString()
     return ball_edges.groupBy("seed").applyInPandas(
-        _walk, "seed string, node string, visit_order int"
+        _walk, f"seed {id_t}, node {id_t}, visit_order int"
     )
 
 

@@ -35,8 +35,6 @@ aggregate.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,23 +71,33 @@ def margin_mse_triples(
     truncation applies, and no cross join ever materializes. Output
     columns: (qid, pos_id, neg_id, neg_rank, margin).
     """
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # norms are per-row constants — compute them BEFORE the pair join
+    # (inside it they would be re-evaluated per pair, tripling the
+    # arithmetic on the dominant stage)
     q = queries.select(
         F.col(queries.columns[0]).alias("qid"),
         F.col(queries.columns[1]).alias("qv"),
+        norm(F.col(queries.columns[1])).alias("qn"),
     )
     c = corpus.select(
         F.col(corpus.columns[0]).alias("cid"),
         F.col(corpus.columns[1]).alias("cv"),
+        norm(F.col(corpus.columns[1])).alias("cn"),
     )
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("qv")) * norm(F.col("cv")))
+    # zero-norm vectors (normalize() emits them for token-less docs)
+    # degrade to cosine 0.0, matching the scoring stage's convention —
+    # a bare division would yield NULL (non-ANSI 0/0) and emit
+    # NULL-margin training rows silently
+    denom = F.col("qn") * F.col("cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
     if candidates is not None:
         paired = (
             candidates.select("qid", "cid")
@@ -165,10 +173,25 @@ def fit_logistic_weights(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
     ).persist()
-    n = cached.count()
+    any_null = None
+    for c in [*feature_cols, "_y"]:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    counts = cached.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(any_null.cast("long")).alias("nulls"),
+    ).first()
+    n = int(counts["n"])
     if n == 0:
         cached.unpersist()
         raise ValueError("empty training set")
+    if int(counts["nulls"] or 0) > 0:
+        # NULLs would silently mis-scale gradients (SUM skips them,
+        # the update divides by the full n) — fail loud instead
+        cached.unpersist()
+        raise ValueError(
+            f"{counts['nulls']} training rows have NULL features/labels"
+        )
     weights = {c: 0.0 for c in feature_cols}
     bias = 0.0
     history: list[float] = []
@@ -298,7 +321,3 @@ def calibrate_mix(
     weights = {c: v / total for c, v in clamped.items()}
     threshold = -learned["bias"] / total
     return weights, threshold
-
-
-def sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))

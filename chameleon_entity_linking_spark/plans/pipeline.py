@@ -224,8 +224,11 @@ class Pipeline:
 
         cluster_fp = _fp({"cluster": 1, "in": score_fp})
         # committed edges are canonical + counted (manifest footer
-        # counts) -> CC skips its standalone dedup/fingerprint job
-        n_edges = self.catalog.current_snapshot("edges").row_count
+        # counts) -> CC skips its standalone dedup/fingerprint job.
+        # total_rows, NOT row_count: an appended edges snapshot's
+        # row_count is the delta only, and an undersized count here
+        # could route a huge edge table into the driver contraction
+        n_edges = self.catalog.current_snapshot("edges").total_rows
         assignments = self._run_stage(
             "cluster",
             "clusters",

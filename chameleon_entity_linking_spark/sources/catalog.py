@@ -210,11 +210,23 @@ def _footer_counts(data_dir: str) -> list[dict[str, Any]]:
 class Snapshot:
     snapshot_id: int
     mode: str
+    # rows written by THIS commit (the delta, for an append)
     row_count: int
     committed_at: float
     lineage: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
     partitions: list[dict[str, Any]] = field(default_factory=list)
+    # rows across ALL data_dirs this snapshot exposes — what read()
+    # returns. Equal to row_count for overwrite snapshots; cumulative
+    # for appends. Anything sizing driver-side work from a snapshot
+    # (e.g. connected_components' canonical_count) must use THIS, not
+    # row_count — an append's delta can be arbitrarily smaller than
+    # the table it fronts.
+    total_rows: int = -1
+
+    def __post_init__(self):
+        if self.total_rows < 0:
+            self.total_rows = self.row_count
 
 
 class ParquetCatalog:
@@ -279,6 +291,7 @@ class ParquetCatalog:
             lineage=cur.get("lineage", {}),
             metrics=cur.get("metrics", {}),
             partitions=cur.get("partitions", []),
+            total_rows=cur.get("total_rows", -1),
         )
 
     def history(self, table: str) -> list[dict]:
@@ -330,13 +343,17 @@ class ParquetCatalog:
             ]
             row_count = df.sparkSession.read.parquet(data_dir).count()
         dirs = [f"snap-{snap_id}"]
+        total_rows = row_count
         if mode == "append" and m["snapshots"]:
-            dirs = m["snapshots"][-1]["data_dirs"] + dirs
+            prev = m["snapshots"][-1]
+            dirs = prev["data_dirs"] + dirs
+            total_rows += prev.get("total_rows", prev["row_count"])
         entry = {
             "snapshot_id": snap_id,
             "mode": mode,
             "data_dirs": dirs,
             "row_count": row_count,
+            "total_rows": total_rows,
             "committed_at": time.time(),
             "lineage": lineage or {},
             "metrics": metrics or {},

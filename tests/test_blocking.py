@@ -200,3 +200,29 @@ class TestCandidatePairs:
         cfg = BlockConfig(use_token_keys=False, use_media_keys=False)
         pairs, _ = candidate_pairs(normalize(docs), cfg)
         assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {("d1", "d2")}
+
+
+class TestFamilyCeilingBelowCap:
+    def test_dropped_class_matches_pair_stream(self, spark):
+        """A family ceiling BELOW hot_key_cap is legal (drop-above-N,
+        never salt); keys between the ceiling and the cap must be
+        CLASSIFIED dropped — the committed metrics have to match what
+        the expansion actually emitted."""
+        from chameleon_entity_linking_spark.operators.block import (
+            expand_key_pairs,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"d{i}", 100, "l") for i in range(6)]  # 6-member 'l' key
+            + [(f"d{i}", 200, "t") for i in range(3)],  # 3-member 't'
+            "doc_id string, key long, fam string",
+        )
+        cfg = BlockConfig(
+            hot_key_cap=8, max_key_docs=16, family_ceilings={"l": 4}
+        )
+        pairs, metrics = expand_key_pairs(keys, cfg)
+        by_key = {r.key: r["class"] for r in metrics.collect()}
+        assert by_key[100] == "dropped"  # 6 > ceiling 4, though <= cap
+        assert by_key[200] == "normal"
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert got == {("d0", "d1"), ("d0", "d2"), ("d1", "d2")}

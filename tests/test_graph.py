@@ -226,3 +226,18 @@ class TestTrecSink:
         )
         lines = [r.line for r in to_trec(df).collect()]
         assert lines == ["1 Q0 10 1 0.9 cel_spark", "1 Q0 11 2 0.5 cel_spark"]
+
+
+class TestDfsExpandIntIds:
+    def test_bigint_node_ids(self, spark):
+        """dfs_expand must follow the input id type like every other
+        graph operator (the output schema is derived, not hardcoded
+        to string)."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 5)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        rows = dfs_expand(edges, seeds, k=10).collect()
+        got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
+        assert got == [2, 3, 5]
+        assert all(isinstance(r.node, int) for r in rows)

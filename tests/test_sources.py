@@ -132,3 +132,17 @@ class TestSynth:
             F.countDistinct("refs").alias("n")
         )
         assert distinct_per_ent.where("n > 1").count() == 0
+
+
+class TestAppendTotals:
+    def test_total_rows_accumulates_across_appends(self, spark, catalog):
+        """row_count stays the per-commit delta; total_rows is the
+        table-level count read() exposes — the number driver-side
+        sizing (connected_components canonical_count) must use."""
+        catalog.write("acc", spark.range(10))
+        snap = catalog.write("acc", spark.range(5), mode="append")
+        assert snap.row_count == 5
+        assert snap.total_rows == 15
+        assert catalog.read(spark, "acc").count() == 15
+        over = catalog.write("acc", spark.range(3))
+        assert over.row_count == 3 and over.total_rows == 3

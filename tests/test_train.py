@@ -327,3 +327,31 @@ class TestCalibrateMix:
         )
         with pytest.raises(ValueError):
             calibrate_mix(scored, labels, iters=25, lr=2.0)
+
+
+class TestTrainGuards:
+    def test_zero_norm_vectors_degrade_to_cosine_zero(self, spark):
+        """normalize() emits zero vectors for token-less docs; the
+        triple assembler must give them cosine 0.0 (the scoring
+        stage's convention), never NULL margins."""
+        q = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+            "id long, embedding array<double>",
+        )
+        c = spark.createDataFrame(
+            [(10, [0.6, 0.8]), (11, [1.0, 0.0]), (12, [0.0, 0.0])],
+            "id long, embedding array<double>",
+        )
+        rows = margin_mse_triples(q, c, num_negs=2).collect()
+        assert all(r.margin is not None for r in rows)
+        # zero-norm query: every cosine 0.0 -> margins all 0.0
+        zq = [r for r in rows if r.qid == 0]
+        assert zq and all(r.margin == 0.0 for r in zq)
+
+    def test_null_training_rows_fail_loud(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (None, 0.0), (0.5, 1.0)],
+            "f1 double, y double",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            fit_logistic_weights(df, ["f1"], label_col="y", iters=1)
