@@ -511,10 +511,14 @@ def default_main() -> int:
         "f1": pipe["f1"],
         "cores": CPUS,
         "stage_sec": pipe["stage_sec"],
-        # box-health at measurement time (GB/s healthy; double-digit
-        # MB/s = host-memory-pressure window inflating Python stages)
+        # box-health at measurement time (GB/s healthy; sub-GB/s =
+        # host-memory-pressure window inflating Python stages 3-10x).
+        # degraded_host flags a run whose numbers are weather, not
+        # code: compare against a healthy-window round before reading
+        # any delta as a regression (see bench/SCALING.md).
         "mem_canary_mb_s": mem_canary_mb_s(),
     }
+    out["degraded_host"] = out["mem_canary_mb_s"] < _CANARY_FLOOR_MB_S
     # surface the committed N-vs-4N size series (bench/SCALING.json,
     # written by --scaling runs) so the per-round BENCH_r{N}.json
     # carries the machine-readable scaling evidence too
