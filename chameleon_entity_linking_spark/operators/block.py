@@ -56,11 +56,8 @@ from pyspark.sql import functions as F
 
 from chameleon_entity_linking_spark.functions.minhash import (
     band_hashes,
-    band_keys_from_signature,
-    minhash_fast_batch,
     minhash_fast_from_texts,
 )
-from chameleon_entity_linking_spark.functions.tokenize import char_shingles
 
 
 class BlockConfig:
@@ -207,40 +204,46 @@ def _lsh_keys_udf(cfg: BlockConfig):
     # keys, i.e. one giant junk blocking bucket. Media-only docs pair
     # via media keys.
     if cfg.debug_keys:
-        # readable string keys for diagnostics (md5 band digests).
-        # Emits BOTH band families when lsh2_bands is set — debug-mode
-        # keys must not silently diverge from the fast-family keys the
-        # config requests (family order matches the fast UDF: all "l"
-        # short bands first, then the "l2" long bands, so the
-        # positional family tagging in blocking_keys applies to both).
+        # readable string keys for diagnostics, derived from the SAME
+        # signatures + band folds as the production fast path (one
+        # shared computation, rendered as strings) — debug-mode bucket
+        # membership is bit-identical to what the fast config builds,
+        # so "why did/didn't these docs co-bucket" reads the real
+        # buckets. Family order matches the fast UDF: all "l" short
+        # bands first, then the "l2" long bands, so the positional
+        # family tagging in blocking_keys applies to both.
         @F.pandas_udf("array<string>")
         def lsh_keys(tokens: pd.Series) -> pd.Series:
-            shingles = [char_shingles(list(t)) for t in tokens]
-            sigs = minhash_fast_batch(
-                shingles, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
+            import numpy as np
+
+            texts = [" ".join(t) for t in tokens]
+            sigs = minhash_fast_from_texts(
+                texts, n_hashes=cfg.lsh_hashes, seed=cfg.minhash_seed
             )
-            out = []
-            for sig, empty in zip(sigs, _no_band_mask(tokens)):
-                if empty:
-                    out.append([])
-                    continue
-                ks = [
-                    "l:" + k
-                    for k in band_keys_from_signature(
-                        sig.tolist(), cfg.lsh_bands, cfg.rows_per_band
-                    )
-                ]
-                if cfg.lsh2_bands:
-                    ks += [
-                        "l2:" + k
-                        for k in band_keys_from_signature(
-                            sig.tolist(),
+            bh = band_hashes(sigs, cfg.lsh_bands, cfg.rows_per_band)
+            fams = ["l"] * cfg.lsh_bands
+            if cfg.lsh2_bands:
+                bh = np.concatenate(
+                    [
+                        bh,
+                        band_hashes(
+                            sigs,
                             cfg.lsh2_bands,
                             cfg.lsh_hashes // cfg.lsh2_bands,
-                        )
-                    ]
-                out.append(ks)
-            return pd.Series(out)
+                            lane_offset=cfg.lsh_bands,
+                        ),
+                    ],
+                    axis=1,
+                )
+                fams += ["l2"] * cfg.lsh2_bands
+            return pd.Series(
+                [
+                    []
+                    if empty
+                    else [f"{f}:{int(k)}" for f, k in zip(fams, keys)]
+                    for keys, empty in zip(bh, _no_band_mask(tokens))
+                ]
+            )
 
         return lsh_keys
 
@@ -587,9 +590,17 @@ def expand_key_pairs(
     # join reuses it, the right side aligns to it. (Measured before
     # the fix: one 42s-CPU straggler task owned the whole hot branch.)
     par = spark.sparkContext.defaultParallelism
+    # diagonal buckets (bi == bj) hold BOTH orientations of every
+    # same-salt-group pair (each member appears as left and right), so
+    # require da < db there — without it each within-group pair rides
+    # the prefilter/dedup shuffles twice (~1.5x hot-branch volume at
+    # n ~= cap+1). Cross buckets (bi < bj) see one orientation only.
     pairs_hot = (
         hot_left.repartition(par, "key", "bi", "bj")
         .join(hot_right, ["key", "bi", "bj"])
+        .where(
+            (F.col("bi") != F.col("bj")) | (F.col("da") < F.col("db"))
+        )
         .where(F.col("da") != F.col("db"))
         .select(
             F.least("da", "db").alias("doc_a"),

@@ -204,6 +204,7 @@ def incremental_er_update(
     broadcast_delta: bool = True,
     new_norm: DataFrame | None = None,
     new_keys: DataFrame | None = None,
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental ER step: returns (new_edges, merged_assignments).
 
@@ -216,13 +217,22 @@ def incremental_er_update(
     features/keys for the batch (the pipeline commits both, so the
     next increment starts from committed tables); ``broadcast_delta``
     gates every O(delta) broadcast hint (see merge_clusters).
+
+    ``persisted_out``: the step ``.persist()``s intermediates (key
+    counts, grouped buckets, an internally-derived ``new_norm``) that
+    must stay cached until the caller MATERIALIZES the outputs. Pass a
+    list and unpersist its entries after committing — otherwise each
+    incremental run leaks cached blocks into executor storage for the
+    session's lifetime (the same contract as
+    ``block.candidate_pairs``'s ``persisted_out``).
     """
     from chameleon_entity_linking_spark.operators.normalize import normalize
 
+    persisted: list = persisted_out if persisted_out is not None else []
     if new_norm is None:
         new_norm = normalize(new_docs).persist()
+        persisted.append(new_norm)
     doc_norm_all = committed_norm.unionByName(new_norm)
-    persisted: list = []
     pairs = incremental_candidate_pairs(
         new_norm,
         committed_keys,

@@ -200,16 +200,29 @@ def _dot_q(a, b):
     ) / F.lit(127.0 * 127.0)
 
 
-def _sketch(doc_norm: DataFrame, side: str) -> DataFrame:
-    return doc_norm.select(
+def _mediaonly():
+    """THE media-only predicate: a text-free media doc is the one
+    case where a pair can match with no lexical signal at all (judged
+    purely on media). Single definition — phase 0, phase 1, and any
+    future exemption must agree or pairs get dropped in one phase and
+    kept in another."""
+    return (F.size("media_refs") > 0) & (F.size("tokens") == 0)
+
+
+def _sketch(
+    doc_norm: DataFrame, side: str, sig: bool = False
+) -> DataFrame:
+    cols = [
         F.col("doc_id").alias(f"doc_{side}"),
-        F.col("emb_q").alias(f"q_{side}"),
-        # text-free media doc: the only case where a pair can match
-        # with no lexical signal at all (judged purely on media)
-        ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
-            f"mediaonly_{side}"
-        ),
+        _mediaonly().alias(f"mediaonly_{side}"),
+    ]
+    cols.insert(
+        1,
+        F.col("emb_sig").alias(f"sig_{side}")
+        if sig
+        else F.col("emb_q").alias(f"q_{side}"),
     )
+    return doc_norm.select(*cols)
 
 
 def sketch_prefilter(
@@ -242,24 +255,8 @@ def sketch_prefilter(
     )
     if use_ham:
         ga = F.broadcast if cfg.broadcast_sketch else (lambda df: df)
-        siga = ga(
-            doc_norm.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("emb_sig").alias("sig_a"),
-                ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
-                    "mediaonly_a"
-                ),
-            )
-        )
-        sigb = ga(
-            doc_norm.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("emb_sig").alias("sig_b"),
-                ((F.size("media_refs") > 0) & (F.size("tokens") == 0)).alias(
-                    "mediaonly_b"
-                ),
-            )
-        )
+        siga = ga(_sketch(doc_norm, "a", sig=True))
+        sigb = ga(_sketch(doc_norm, "b", sig=True))
         ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         pre = (
             pairs.join(siga, "doc_a")

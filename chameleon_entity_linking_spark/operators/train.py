@@ -15,7 +15,10 @@ capability splits along what actually needs a cluster:
    and up to ``num_negs_per_system`` hard negatives, label each triple
    with the teacher margin ``ce_scores[pos] - ce_scores[neg]``. Here
    that is :func:`margin_mse_triples` — a broadcast join + window
-   rank, linear in the corpus, shuffle-free on the corpus side.
+   rank over candidate pairs. At scale the candidate set comes from
+   the blocking/ANN family (the ``candidates`` parameter), so the
+   per-query window ranks ~num_negs·probe-width rows, not the
+   corpus.
 
 2. **Gradient descent on the deep encoder is GPU work** the sandbox
    cannot run (no torch) and Spark should not re-implement. The
@@ -60,11 +63,12 @@ def margin_mse_triples(
     deterministic (ordered by qid, rank), not a sample.
 
     Scale shape: queries broadcast (training query sets are ~1e5-1e6
-    rows — tiny next to a 10^12-doc corpus); the corpus side streams
-    through one projection + per-query top-(num_negs+1) window. The
-    default exhaustive query×corpus scoring is the FAISS-IndexFlat
-    analogue (`BiEncoder/test_retrieval.py:51`) — exact, but linear
-    scans per query. Past broadcast/bench scale pass ``candidates``:
+    rows — tiny next to a 10^12-doc corpus). The default exhaustive
+    query×corpus scoring is the FAISS-IndexFlat analogue
+    (`BiEncoder/test_retrieval.py:51`) — exact, but the top-k window
+    SHUFFLES the full Q×N scored product (20B/row after projection):
+    correct to ~1e9 scored pairs, the wrong plan past that. Past
+    broadcast/bench scale pass ``candidates``:
     a (qid, cid) pair table from the blocking/ANN family (e.g.
     ``ann_ivf_probe2``'s cell join), and only those pairs are scored
     — the same retrieve-then-rank bound the reference's top-1000
@@ -99,8 +103,13 @@ def margin_mse_triples(
     denom = F.col("qn") * F.col("cn")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
     if candidates is not None:
+        # blocking-family pair streams are NOT deduplicated across
+        # keys (expand_key_pairs contract) — a duplicate (qid, cid)
+        # would occupy two window ranks, emitting a pos==neg triple
+        # with margin 0 and displacing a real hard negative
         paired = (
             candidates.select("qid", "cid")
+            .distinct()
             .join(q, "qid")
             .join(c, "cid")
         )

@@ -303,6 +303,7 @@ class Pipeline:
         )
         new_norm = normalize(new_docs).persist()
         new_keys = blocking_keys(new_norm, self.block_cfg).persist()
+        persisted: list = []
         new_edges, merged = incremental_er_update(
             new_docs,
             committed_norm,
@@ -312,6 +313,7 @@ class Pipeline:
             self.score_cfg,
             new_norm=new_norm,
             new_keys=new_keys,
+            persisted_out=persisted,
         )
         inc_fp = _fp(
             {
@@ -332,6 +334,8 @@ class Pipeline:
         cluster_snap = self.catalog.write("clusters", merged, lineage=lineage)
         new_norm.unpersist()
         new_keys.unpersist()
+        for df in persisted:  # expansion-internal caches (see
+            df.unpersist()  # incremental_er_update's persisted_out)
         self.timings["incremental"] = time.time() - t0
         return {
             "n_new_docs": self.catalog.current_snapshot("documents").row_count,
