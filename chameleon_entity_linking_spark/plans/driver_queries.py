@@ -741,6 +741,13 @@ def q_trigram_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.transform("tg", lambda s: _key_hash(s))
         ).alias("key"),
     )
+    # two consumers (counts agg + grouping join) — materialize the
+    # tokenize->trigram->hash stream once instead of deriving it per
+    # consumer (the ER blocking stage persists for the same shape;
+    # localCheckpoint here because registry queries return lazy DFs
+    # the caller discards, and the checkpoint's storage is reclaimed
+    # with the RDD by the context cleaner)
+    keys = keys.localCheckpoint()
     counts = keys.groupBy("key").agg(F.count("*").alias("n_docs"))
     grouped = (
         keys.join(
@@ -1370,7 +1377,10 @@ FROM orders ORDER BY o_orderkey LIMIT 100
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup via the bucketed scale path: sign-LSH
     bucket equi-join (shuffle on bucket, not a cross join), exact
-    cosine rescoring inside buckets, near-dup pairs >= 0.9."""
+    cosine rescoring inside buckets, pairs >= 0.3 kept (the synthetic
+    embeddings' cluster structure puts same-label pairs well above it
+    and cross-label pairs below; a production near-dup cut would sit
+    ~0.9)."""
     emb = load(spark, sf, "embeddings")
     bucket = F.concat(
         *[

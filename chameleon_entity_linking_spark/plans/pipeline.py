@@ -173,10 +173,15 @@ class Pipeline:
             {
                 "block": self.block_cfg.fingerprint(),
                 # the sketch prefilter is fused into pair generation,
-                # so its knobs are part of the pairs-table identity
+                # so ALL its knobs are part of the pairs-table
+                # identity — omitting one (the hamming cut was missed
+                # until round 5) makes a retune resume-skip onto a
+                # stale pairs snapshot whose dropped pairs can never
+                # be recovered downstream
                 "sketch": [
                     self.score_cfg.cascade,
                     self.score_cfg.prefilter_min_cheap,
+                    self.score_cfg.prefilter_max_hamming,
                 ],
                 "in": keys_fp,
             }
@@ -266,7 +271,9 @@ class Pipeline:
             )
         return result
 
-    def incremental(self, new_docs: DataFrame) -> dict:
+    def incremental(
+        self, new_docs: DataFrame, batch_id: str | None = None
+    ) -> dict:
         """Resolve a NEW document batch against the committed corpus —
         the O(delta) refresh path (operators/incremental_er.py).
 
@@ -284,6 +291,17 @@ class Pipeline:
         run over the union corpus would leave for a subsequent
         increment: the next batch probes keys covering every committed
         doc, old and new.
+
+        ``batch_id`` (recommended in production): the replay guard.
+        The five commits below are not one transaction; with a batch
+        id recorded in their lineage, a retry of a FULLY-committed
+        batch is a no-op ({"skipped": True}), and a retry after a
+        mid-sequence crash raises instead of double-appending the
+        batch into documents/doc_norm/blocking_keys/edges — roll the
+        partially-touched tables back to their pre-batch snapshots
+        (``catalog.rollback``) and retry. Without a batch id no guard
+        runs (the streaming path's checkpoint-keyed guard is the
+        equivalent there).
         """
         from chameleon_entity_linking_spark.operators.incremental_er import (
             incremental_er_update,
@@ -294,6 +312,31 @@ class Pipeline:
                 raise RuntimeError(
                     f"incremental() needs a committed '{table}' snapshot — "
                     "run() the batch pipeline first"
+                )
+        inc_tables = (
+            "documents",
+            "doc_norm",
+            "blocking_keys",
+            "edges",
+            "clusters",
+        )
+        if batch_id is not None:
+            touched = {
+                t: any(
+                    s.get("lineage", {}).get("batch_id") == batch_id
+                    for s in self.catalog.history(t)
+                )
+                for t in inc_tables
+            }
+            if all(touched.values()):
+                return {"skipped": True, "batch_id": batch_id}
+            if any(touched.values()):
+                partial = sorted(t for t, hit in touched.items() if hit)
+                raise RuntimeError(
+                    f"batch {batch_id!r} is PARTIALLY committed "
+                    f"(tables {partial}) — a retry would double-append; "
+                    "catalog.rollback each touched table to its "
+                    "pre-batch snapshot, then retry"
                 )
         t0 = time.time()
         committed_norm = self.catalog.read(self.spark, "doc_norm")
@@ -323,6 +366,8 @@ class Pipeline:
             }
         )
         lineage = {"stage": "incremental", "fingerprint": inc_fp}
+        if batch_id is not None:
+            lineage["batch_id"] = batch_id
         self.catalog.write("documents", new_docs, mode="append", lineage=lineage)
         self.catalog.write("doc_norm", new_norm, mode="append", lineage=lineage)
         self.catalog.write(

@@ -64,8 +64,15 @@ def get_spark(
     inter-executor shuffle path, unlike ``local[N]``'s one shared JVM.
     """
     if executors is not None:
+        from chameleon_entity_linking_spark.operators.cluster import (
+            _parse_jvm_mem_mb,
+        )
+
         cores = executors * executor_cores
-        mem_mb = int(str(executor_mem).rstrip("g")) * 1024
+        # Spark-conformant parsing ("4096m", "2G", plain MiB, ...) —
+        # a bare rstrip('g') crashed on every non-lowercase-gigabyte
+        # memory string
+        mem_mb = int(_parse_jvm_mem_mb(str(executor_mem)))
         master = f"local-cluster[{executors},{executor_cores},{mem_mb}]"
     else:
         cores = cores or DEFAULT_CPUS

@@ -298,6 +298,27 @@ class ParquetCatalog:
         m = self._read_manifest(table)
         return list(m["snapshots"]) if m else []
 
+    def rollback(self, table: str, snapshot_id: int) -> Snapshot:
+        """Make ``snapshot_id`` the table's current snapshot by
+        truncating every later manifest entry (the Iceberg
+        rollback-to-snapshot analogue). Data dirs of dropped snapshots
+        stay on disk — unreferenced, harmless, reclaimable by a future
+        GC — so the operation is one atomic manifest swap. The repair
+        path for a partially-committed multi-table batch (see
+        Pipeline.incremental's replay guard)."""
+        m = self._read_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"table not committed: {table}")
+        keep = [s for s in m["snapshots"] if s["snapshot_id"] <= snapshot_id]
+        if not keep or keep[-1]["snapshot_id"] != snapshot_id:
+            raise ValueError(
+                f"{table} has no snapshot {snapshot_id} "
+                f"(history: {[s['snapshot_id'] for s in m['snapshots']]})"
+            )
+        m["snapshots"] = keep
+        self._commit_manifest(table, m)
+        return self.current_snapshot(table)  # type: ignore[return-value]
+
     def write(
         self,
         table: str,
@@ -394,9 +415,15 @@ class ParquetCatalog:
 
 
 class IcebergCatalog:
-    """Thin delegate to a real Iceberg catalog when its runtime jar is
-    configured on the session (not available in this sandbox; kept so
-    the pipeline code is backend-agnostic)."""
+    """Sketch of the Iceberg write/read mapping for sessions with the
+    runtime jar configured (not available in this sandbox). NOT a
+    drop-in for ParquetCatalog: it covers exists/write/read only — no
+    Snapshot surface (current_snapshot/history/total_rows), so
+    Pipeline's resume fingerprints and replay guards do not work
+    against it. Running the pipeline on real Iceberg means
+    implementing those from Iceberg's own snapshot metadata
+    (snapshot-id, summary counts) — a mechanical mapping, deliberately
+    not faked here."""
 
     def __init__(self, spark: SparkSession, catalog_name: str, namespace: str = "db"):
         self.spark = spark

@@ -73,8 +73,15 @@ NEGATIVES_SCHEMA = T.StructType(
 def _read_tsv_keyed(
     spark: SparkSession, path: str, key_name: str
 ) -> DataFrame:
+    # raw TSV semantics (the reference's line.split('\t')): quoting
+    # and escaping DISABLED — CSV defaults would treat a leading
+    # double quote as a quoted field (swallowing tabs inside it) and
+    # backslashes as escapes, silently mangling any passage containing
+    # those characters
     df = (
         spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
         .schema(f"{key_name} LONG, text STRING")
         .csv(path)
     )
@@ -107,6 +114,8 @@ def read_entity_annotations(spark: SparkSession, path: str) -> DataFrame:
     """
     raw = (
         spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
         .schema("id LONG, raw STRING")
         .csv(path)
     )

@@ -45,8 +45,15 @@ def validate_documents(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .when(F.col("spans").isNull(), "null_spans")
         .when(
+            # null-safe: a NULL offset violates offset == position; a
+            # bare `s.offset = i` yields NULL under three-valued
+            # logic, exists() returns NULL, and the row would slip
+            # through as valid
             F.exists(
-                F.expr("transform(spans, (s, i) -> s.offset = i)"),
+                F.expr(
+                    "transform(spans,"
+                    " (s, i) -> coalesce(s.offset = i, false))"
+                ),
                 lambda ok: ~ok,
             ),
             "offset_order_violation",
@@ -85,8 +92,15 @@ def start_incremental_normalize(
     # (including dead-letter rows). Committing the checkpoint path in
     # lineage and requiring it to match pins the guard to this stream;
     # a different incarnation falls back to replay (append-mode
-    # at-least-once, never silent loss).
-    stream_id = os.path.abspath(checkpoint_dir)
+    # at-least-once, never silent loss). URI checkpoint locations
+    # (hdfs://, s3a://) are already absolute and cwd-independent —
+    # abspath would mangle them into a cwd-relative local path and
+    # void the guard across service restarts from a different cwd.
+    stream_id = (
+        checkpoint_dir
+        if "://" in checkpoint_dir
+        else os.path.abspath(checkpoint_dir)
+    )
 
     def _committed(table: str, batch_id: int) -> bool:
         snap = (
@@ -112,9 +126,14 @@ def start_incremental_normalize(
         errors_done = _committed("errors", batch_id)
         if norm_done and errors_done:
             return
-        valid, dead = validate_documents(
-            batch.dropDuplicates(["doc_id"])  # idempotence within batch
-        )
+        # persist the deduped batch: the valid/dead split below feeds
+        # MULTIPLE actions (dead probe, errors write, norm write), and
+        # dropDuplicates picks an ARBITRARY survivor per evaluation —
+        # unpinned, a doc_id with both a valid and a malformed copy
+        # could land in neither table (one action's evaluation keeps
+        # the valid copy, another's the malformed one)
+        deduped = batch.dropDuplicates(["doc_id"]).persist()
+        valid, dead = validate_documents(deduped)
         # dead-letter FIRST: if the batch has malformed rows, a crash
         # after this commit replays into the norm_done-only branch;
         # the errors lineage then proves this batch's dead rows exist.
@@ -144,6 +163,7 @@ def start_incremental_normalize(
                 },
                 metrics={"batch_id": batch_id},
             )
+        deduped.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -514,3 +514,79 @@ class TestStreamIdGuard:
         )
         q3.awaitTermination()
         assert catalog.read(spark, "doc_norm_stream").count() == 2 * n1
+
+
+class TestBatchReplayGuard:
+    """Pipeline.incremental(batch_id=...): five commits are not one
+    transaction — a full replay must be a no-op, a partial replay must
+    fail loud (not double-append), and catalog.rollback is the repair
+    path."""
+
+    def _committed_pipeline(self, spark, tmp_path):
+        from chameleon_entity_linking_spark.plans.pipeline import Pipeline
+        from chameleon_entity_linking_spark.sources.synth import SynthConfig
+
+        p = Pipeline(
+            spark,
+            str(tmp_path / "wh"),
+            synth_cfg=SynthConfig(n_entities=30, seed=7),
+        )
+        p.run(evaluate=False)
+        src = p.catalog.read(spark, "documents").orderBy("doc_id").first()
+        new_docs = spark.createDataFrame(
+            [("znew_0", src["spans"])],
+            p.catalog.read(spark, "documents").schema,
+        )
+        return p, new_docs
+
+    def test_full_replay_is_noop(self, spark, tmp_path):
+        p, new_docs = self._committed_pipeline(spark, tmp_path)
+        p.incremental(new_docs, batch_id="b1")
+        docs_after = p.catalog.read(spark, "documents").count()
+        out = p.incremental(new_docs, batch_id="b1")
+        assert out == {"skipped": True, "batch_id": "b1"}
+        assert p.catalog.read(spark, "documents").count() == docs_after
+
+    def test_partial_replay_raises_and_rollback_repairs(
+        self, spark, tmp_path
+    ):
+        p, new_docs = self._committed_pipeline(spark, tmp_path)
+        pre = {
+            t: p.catalog.current_snapshot(t).snapshot_id
+            for t in ("documents", "doc_norm", "blocking_keys")
+        }
+        # simulate a mid-sequence crash: the batch landed in documents
+        # (+norm/keys) but never reached edges/clusters
+        lineage = {"stage": "incremental", "batch_id": "b2"}
+        for t in ("documents", "doc_norm", "blocking_keys"):
+            p.catalog.write(
+                t,
+                p.catalog.read(spark, t).limit(1),
+                mode="append",
+                lineage=lineage,
+            )
+        with pytest.raises(RuntimeError, match="PARTIALLY committed"):
+            p.incremental(new_docs, batch_id="b2")
+        # repair: roll the touched tables back, then retry cleanly
+        for t, sid in pre.items():
+            p.catalog.rollback(t, sid)
+        out = p.incremental(new_docs, batch_id="b2")
+        assert "skipped" not in out
+        assert p.catalog.current_snapshot("documents").lineage[
+            "batch_id"
+        ] == "b2"
+
+    def test_rollback_restores_previous_snapshot(self, spark, tmp_path):
+        from chameleon_entity_linking_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        cat = ParquetCatalog(str(tmp_path / "wh2"))
+        cat.write("t", spark.range(10))
+        cat.write("t", spark.range(4), mode="append")
+        assert cat.read(spark, "t").count() == 14
+        snap = cat.rollback("t", 0)
+        assert snap.snapshot_id == 0
+        assert cat.read(spark, "t").count() == 10
+        with pytest.raises(ValueError):
+            cat.rollback("t", 5)

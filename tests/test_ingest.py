@@ -163,3 +163,17 @@ class TestPickleScores:
         assert df.count() == 3
         got = {(r.qid, r.pid): r.score for r in df.collect()}
         assert got[(1, 10)] == 0.9
+
+
+class TestTsvQuoteSafety:
+    def test_quotes_and_backslashes_are_data(self, spark, tmp_path):
+        """Raw-TSV semantics (the reference's line.split('\\t')): a
+        leading double quote must not start a 'quoted field' that
+        swallows tabs, and backslashes are not escapes."""
+        p = str(tmp_path / "quoted.tsv")
+        with open(p, "w") as f:
+            f.write('1\t"A quoted passage" continues here\n')
+            f.write('2\tback\\slash and "mid" quotes\n')
+        got = {r.pid: r.text for r in read_tsv_corpus(spark, p).collect()}
+        assert got[1] == '"A quoted passage" continues here'
+        assert got[2] == 'back\\slash and "mid" quotes'

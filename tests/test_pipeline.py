@@ -151,3 +151,35 @@ class TestNormalizeUnit:
         assert rows["d1"].name_text == "" and rows["d1"].tokens == []
         assert rows["d2"].media_refs == ["mV"]
         assert sum(v * v for v in rows["d1"].embedding) == 0.0
+
+
+class TestPrefilterRetuneInvalidatesPairs:
+    def test_hamming_retune_recomputes_block_stage(
+        self, spark, tmp_path
+    ):
+        """Every fused-prefilter knob is part of the pairs-table
+        identity: retuning prefilter_max_hamming must invalidate the
+        committed pairs snapshot, not resume-skip onto stale pairs."""
+        from chameleon_entity_linking_spark.operators.score import (
+            ScoreConfig,
+        )
+
+        wh = str(tmp_path / "wh")
+        p1 = Pipeline(
+            spark,
+            wh,
+            synth_cfg=SynthConfig(n_entities=40, seed=3),
+            score_cfg=ScoreConfig(prefilter_max_hamming=21),
+        )
+        p1.run(evaluate=False)
+        sid_before = p1.catalog.current_snapshot("pairs").snapshot_id
+        p2 = Pipeline(
+            spark,
+            wh,
+            synth_cfg=SynthConfig(n_entities=40, seed=3),
+            score_cfg=ScoreConfig(prefilter_max_hamming=None),
+        )
+        p2.run(evaluate=False)
+        assert (
+            p2.catalog.current_snapshot("pairs").snapshot_id != sid_before
+        ), "hamming retune must rebuild the pairs snapshot"

@@ -119,3 +119,24 @@ class TestStreamingWindows:
         )
         assert got.count() == expected
         assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+class TestNullOffsetValidation:
+    def test_null_offsets_are_dead_lettered(self, spark):
+        """NULL span offsets violate offset == position; three-valued
+        logic must not let them slip through as valid."""
+        rows = [
+            ("n1", [{"kind": "text", "text": "a", "media_ref": "", "offset": None}]),
+            ("n2", [
+                {"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "b", "media_ref": "", "offset": None},
+            ]),
+            ("ok", [{"kind": "text", "text": "a", "media_ref": "", "offset": 0}]),
+        ]
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        valid, dead = validate_documents(df)
+        assert [r.doc_id for r in valid.collect()] == ["ok"]
+        assert {r.doc_id: r.reason for r in dead.collect()} == {
+            "n1": "offset_order_violation",
+            "n2": "offset_order_violation",
+        }
