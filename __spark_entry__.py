@@ -57,8 +57,11 @@ def _er_pipeline_from_docs(
 
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     doc_norm = normalize(docs).persist()
-    pairs, _ = candidate_pairs(doc_norm, block_cfg, score_cfg=score_cfg)
-    presketched = score_cfg.cascade and score_cfg.prefilter_min_cheap is not None
+    persisted = [doc_norm]
+    pairs, _ = candidate_pairs(
+        doc_norm, block_cfg, score_cfg=score_cfg, persisted_out=persisted
+    )
+    presketched = score_cfg.sketch_fused
     edges = edges_above_threshold(
         score_pairs(pairs, doc_norm, score_cfg, presketched=presketched),
         score_cfg,
@@ -67,9 +70,19 @@ def _er_pipeline_from_docs(
     sizes = assignments.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
-    return assignments.join(sizes, "cluster_id").select(
+    result = assignments.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+    # registry queries return lazy DFs the caller materializes and
+    # discards, so the expansion's internal caches (doc_norm, key
+    # counts, grouped buckets) would outlive the query and pile up
+    # across a 40+-query gate run. Materialize the SMALL result
+    # eagerly (one row per doc at driver scale; checkpoint storage is
+    # reclaimed with the RDD), then free every cache.
+    result = result.localCheckpoint()
+    for df in persisted:
+        df.unpersist()
+    return result
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +356,10 @@ def _incremental_er_clusters_impl(
     new_docs = full.join(base.select("doc_id"), "doc_id", "left_anti")
     # committed run over batch 1
     norm1 = normalize(base).persist()
-    pairs1, _ = candidate_pairs(norm1, block_cfg, score_cfg=score_cfg)
+    persisted = [norm1]
+    pairs1, _ = candidate_pairs(
+        norm1, block_cfg, score_cfg=score_cfg, persisted_out=persisted
+    )
     edges1 = edges_above_threshold(
         score_pairs(pairs1, norm1, score_cfg), score_cfg
     )
@@ -358,13 +374,20 @@ def _incremental_er_clusters_impl(
         assign1,
         block_cfg,
         score_cfg,
+        persisted_out=persisted,
     )
     sizes = merged.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
-    return merged.join(sizes, "cluster_id").select(
+    result = merged.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+    # same cache discipline as _er_pipeline_from_docs: materialize the
+    # small result, then free the run's internal caches
+    result = result.localCheckpoint()
+    for df in persisted:
+        df.unpersist()
+    return result
 
 
 def _incremental_oracle_sql(cap_lo: int = 2, cap_hi: int = 64) -> str:
@@ -529,9 +552,6 @@ def _flagship_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from chameleon_entity_linking_spark.operators.evaluate import (
-        pairwise_confusion,
-    )
     from chameleon_entity_linking_spark.sources.readers import load
 
     assignments = _flagship(spark, sf_dir).select("doc_id", "cluster_id")
@@ -557,13 +577,11 @@ def _flagship_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("nxt", F.lit("_dup")).alias("doc_b"),
         F.lit(False).alias("is_match"),
     )
-    conf = pairwise_confusion(pos.unionByName(neg), assignments)
-    return conf.agg(
-        F.sum((F.col("is_match") & F.col("predicted")).cast("long")).alias("tp"),
-        F.sum((~F.col("is_match") & F.col("predicted")).cast("long")).alias("fp"),
-        F.sum((F.col("is_match") & ~F.col("predicted")).cast("long")).alias("fn"),
-        F.sum((~F.col("is_match") & ~F.col("predicted")).cast("long")).alias("tn"),
+    from chameleon_entity_linking_spark.operators.evaluate import (
+        confusion_counts,
     )
+
+    return confusion_counts(pos.unionByName(neg), assignments)
 
 
 # pairwise F1 at the pins: sf0.001 tp=125 fn=0 -> F1 = 1.0;

@@ -148,18 +148,23 @@ def run_pipeline(
     )
     if warmup_entities:
         wwh = tempfile.mkdtemp(prefix="cel_warmup_")
-        Pipeline(
-            spark,
-            wwh,
-            synth_cfg=SynthConfig(n_entities=warmup_entities, seed=7),
-        ).run(evaluate=False)
-        # delete the warm-up warehouse off-thread: rmtree of a few
-        # thousand parquet files blocked the driver ~40s (eventlog:
-        # a 40s job gap between warm-up and measured run) — wall-only
-        # cost, but it slows every campaign leg
-        threading.Thread(
-            target=shutil.rmtree, args=(wwh, True), daemon=True
-        ).start()
+        try:
+            Pipeline(
+                spark,
+                wwh,
+                synth_cfg=SynthConfig(n_entities=warmup_entities, seed=7),
+            ).run(evaluate=False)
+        finally:
+            # delete the warm-up warehouse off-thread: rmtree of a few
+            # thousand parquet files blocked the driver ~40s (eventlog:
+            # a 40s job gap between warm-up and measured run). finally:
+            # a failed warm-up must not orphan the directory. The
+            # daemon thread can still be cut short by process exit —
+            # bounded, wall-only residue; a fresh campaign's mkdtemp
+            # never collides with it.
+            threading.Thread(
+                target=shutil.rmtree, args=(wwh, True), daemon=True
+            ).start()
     with tempfile.TemporaryDirectory() as wh:
         pipe = Pipeline(
             spark, wh, synth_cfg=SynthConfig(n_entities=entities, seed=seed)
@@ -489,13 +494,13 @@ def default_main() -> int:
     per_query["er_pipeline_full"] = round(time.time() - t0, 2)
     spark.stop()
     # flagship pipeline under the one protocol: fresh process,
-    # 4 x 8-core executor JVMs, best-of-2 (== --scaling's high leg;
-    # single-box wall times vary run-to-run, the best run is the
-    # least-noisy estimate of capability)
-    pipe = max(
-        (_spawn(32, BENCH_ENTITIES, executors=4) for _ in range(2)),
-        key=lambda r: r["docs_per_sec"],
-    )
+    # 4 x 8-core executor JVMs, MEDIAN-of-3 — the same grading rule as
+    # --scaling's legs, so the headline docs_per_sec and the
+    # SCALING.md high leg are directly comparable (a best-of-2 here
+    # systematically exceeded the scaling row's median for the same
+    # config)
+    pipe_runs = [_spawn(32, BENCH_ENTITIES, executors=4) for _ in range(3)]
+    pipe = _median_of(pipe_runs)
     out = {
         "metric": "e2e_synth_pipeline_sec",
         "value": pipe["pipeline_sec"],
@@ -511,14 +516,19 @@ def default_main() -> int:
         "f1": pipe["f1"],
         "cores": CPUS,
         "stage_sec": pipe["stage_sec"],
-        # box-health at measurement time (GB/s healthy; sub-GB/s =
-        # host-memory-pressure window inflating Python stages 3-10x).
-        # degraded_host flags a run whose numbers are weather, not
-        # code: compare against a healthy-window round before reading
-        # any delta as a regression (see bench/SCALING.md).
-        "mem_canary_mb_s": mem_canary_mb_s(),
+        # box-health DURING the measured reps (each worker records its
+        # own canary in-run; a parent-process reading taken after the
+        # reps can miss a pressure window that lifted — or started —
+        # in between). degraded_host flags a run whose numbers are
+        # weather, not code: compare against a healthy-window round
+        # before reading any delta as a regression (bench/SCALING.md).
+        "mem_canary_mb_s": sorted(
+            r.get("mem_canary_mb_s", -1) for r in pipe_runs
+        ),
     }
-    out["degraded_host"] = out["mem_canary_mb_s"] < _CANARY_FLOOR_MB_S
+    out["degraded_host"] = (
+        min(out["mem_canary_mb_s"]) < _CANARY_FLOOR_MB_S
+    )
     # surface the committed N-vs-4N size series (bench/SCALING.json,
     # written by --scaling runs) so the per-round BENCH_r{N}.json
     # carries the machine-readable scaling evidence too

@@ -423,11 +423,10 @@ def candidate_pairs(
         if persisted_out is not None:
             persisted_out.append(keys)
     raw, key_metrics = expand_key_pairs(keys, cfg, persisted_out)
-    if (
-        score_cfg is not None
-        and getattr(score_cfg, "cascade", False)
-        and getattr(score_cfg, "prefilter_min_cheap", None) is not None
-    ):
+    # ScoreConfig.sketch_fused is THE shared flag: callers passing
+    # presketched= to score_pairs read the same property, so the two
+    # sides can never drift on whether sketch columns exist
+    if score_cfg is not None and score_cfg.sketch_fused:
         from chameleon_entity_linking_spark.operators.score import (
             sketch_prefilter,
         )

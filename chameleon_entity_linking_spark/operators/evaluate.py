@@ -35,15 +35,23 @@ def pairwise_confusion(labels: DataFrame, assignments: DataFrame) -> DataFrame:
     )
 
 
-def pairwise_f1(labels: DataFrame, assignments: DataFrame) -> dict:
-    """{tp, fp, fn, tn, precision, recall, f1} as plain floats."""
+def confusion_counts(labels: DataFrame, assignments: DataFrame) -> DataFrame:
+    """One-row (tp, fp, fn, tn) DataFrame — THE confusion aggregation;
+    pairwise_f1 and the driver-contract F1 gate (__spark_entry__'s
+    er_pipeline_f1) both read it, so the pytest metric and the
+    driver-visible gate can never diverge."""
     conf = pairwise_confusion(labels, assignments)
-    row = conf.agg(
+    return conf.agg(
         F.sum((F.col("is_match") & F.col("predicted")).cast("long")).alias("tp"),
         F.sum((~F.col("is_match") & F.col("predicted")).cast("long")).alias("fp"),
         F.sum((F.col("is_match") & ~F.col("predicted")).cast("long")).alias("fn"),
         F.sum((~F.col("is_match") & ~F.col("predicted")).cast("long")).alias("tn"),
-    ).collect()[0]
+    )
+
+
+def pairwise_f1(labels: DataFrame, assignments: DataFrame) -> dict:
+    """{tp, fp, fn, tn, precision, recall, f1} as plain floats."""
+    row = confusion_counts(labels, assignments).collect()[0]
     tp, fp, fn, tn = (int(row[k] or 0) for k in ("tp", "fp", "fn", "tn"))
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0

@@ -123,8 +123,7 @@ def incremental_candidate_pairs(
     if (
         score_cfg is not None
         and doc_norm_all is not None
-        and score_cfg.cascade
-        and score_cfg.prefilter_min_cheap is not None
+        and score_cfg.sketch_fused
     ):
         raw = sketch_prefilter(raw, doc_norm_all, score_cfg)
     return raw.dropDuplicates(["doc_a", "doc_b"])
@@ -243,7 +242,7 @@ def incremental_er_update(
         broadcast_delta=broadcast_delta,
         new_keys=new_keys,
     )
-    presketched = score_cfg.cascade and score_cfg.prefilter_min_cheap is not None
+    presketched = score_cfg.sketch_fused
     new_edges = edges_above_threshold(
         score_pairs(pairs, doc_norm_all, score_cfg, presketched=presketched),
         score_cfg,

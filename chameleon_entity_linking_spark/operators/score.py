@@ -122,6 +122,17 @@ class ScoreConfig:
         self.length_sort = length_sort
         self.broadcast_sketch = broadcast_sketch
 
+    @property
+    def sketch_fused(self) -> bool:
+        """True iff pair generation fuses the sketch prefilter (and
+        therefore emits pre-sketched pairs carrying ``s_cos``). THE
+        single definition — block.candidate_pairs decides whether to
+        attach sketches with this, and every caller passing
+        ``presketched=`` to score_pairs must read the same flag, or a
+        drift leaves one side expecting columns the other didn't
+        build."""
+        return self.cascade and self.prefilter_min_cheap is not None
+
     def fingerprint(self) -> dict:
         return dict(vars(self))
 

@@ -30,7 +30,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # numeric-coerce first: DuckDB DECIMAL comes back as
+            # object-dtype Decimals — stringifying would sort one side
+            # lexicographically against the other's numeric sort and
+            # misalign every row
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
@@ -91,6 +98,12 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(queries)
+    if unknown:
+        # a typo must not make the gate vacuously green
+        print(f"✗ unknown query names: {sorted(unknown)}")
+        print(f"  known: {sorted(queries)}")
+        return 2
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
