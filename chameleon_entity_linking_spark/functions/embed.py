@@ -29,11 +29,13 @@ single-executor stage; this is its replacement.)
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
-from chameleon_entity_linking_spark.functions.minhash import _splitmix64
+from chameleon_entity_linking_spark.functions.minhash import (
+    _splitmix64,
+    pack_char3_windows,
+    shingle_base_hash,
+)
 
 DEFAULT_DIM = 64
 
@@ -44,24 +46,10 @@ _TOKEN_SALT = _U64(0xA0761D6478BD642F)
 _TRIGRAM_SALT = _U64(0xE7037ED1A0B428DB)
 
 
-def _pack_trigram_windows(text: str) -> np.ndarray:
-    """All char-3 windows of ``text`` as packed uint64s (MULTISET —
-    repeated trigrams keep their weight, unlike the minhash shingle
-    SET). Collision-free pack: (c0 << 42) | (c1 << 21) | c2
-    (codepoints < 2^21). Texts shorter than 3 chars contribute their
-    1-2 codepoints the same way (missing positions = 0)."""
-    if not text:
-        return np.empty(0, dtype=_U64)
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
-        _U64
-    )
-    n = len(codes)
-    if n < 3:
-        packed = codes[0] << _U64(42)
-        if n > 1:
-            packed |= codes[1] << _U64(21)
-        return np.array([packed], dtype=_U64)
-    return (codes[:-2] << _U64(42)) | (codes[1:-1] << _U64(21)) | codes[2:]
+# the embedding trigram space is the MULTISET view of the shared
+# char-3 packing (repeated trigrams keep their weight, unlike the
+# minhash shingle SET) — one packing definition for both spaces
+_pack_trigram_windows = pack_char3_windows
 
 
 def encode_hashed_batch(
@@ -107,8 +95,8 @@ def encode_hashed_batch(
     return out / norms
 
 
-def _feature_hash(feature: str) -> int:
-    return int.from_bytes(hashlib.md5(feature.encode()).digest()[:8], "big")
+# byte-identical to the minhash family's base hash — one construction
+_feature_hash = shingle_base_hash
 
 
 def encode_batch(token_lists: list[list[str]], dim: int = DEFAULT_DIM) -> np.ndarray:

@@ -117,13 +117,14 @@ def band_keys_from_signature(
 # ---------------------------------------------------------------------------
 
 
-def _pack_shingles(text: str) -> np.ndarray:
-    """Distinct char-3 shingles of ``text`` as packed uint64s.
-
-    Collision-free pack: (c0 << 42) | (c1 << 21) | c2 — codepoints are
-    < 2^21. Texts shorter than 3 chars pack their 1-2 codepoints the
-    same way (missing positions = 0, unambiguous: real codepoints are
-    nonzero). Matches ``char_shingles``'s shingle *set* semantics.
+def pack_char3_windows(text: str) -> np.ndarray:
+    """All char-3 windows of ``text`` as packed uint64s (MULTISET —
+    repeated windows keep their weight). THE one packing shared by the
+    minhash shingle space and the embedding trigram space
+    (functions/embed.py): collision-free (c0 << 42) | (c1 << 21) | c2,
+    codepoints < 2^21. Texts shorter than 3 chars pack their 1-2
+    codepoints the same way (missing positions = 0, unambiguous: real
+    codepoints are nonzero).
     """
     if not text:
         return np.empty(0, dtype=_U64)
@@ -136,10 +137,14 @@ def _pack_shingles(text: str) -> np.ndarray:
         if n > 1:
             packed |= codes[1] << _U64(21)
         return np.array([packed], dtype=_U64)
-    packed = (
-        (codes[:-2] << _U64(42)) | (codes[1:-1] << _U64(21)) | codes[2:]
-    )
-    return np.unique(packed)
+    return (codes[:-2] << _U64(42)) | (codes[1:-1] << _U64(21)) | codes[2:]
+
+
+def _pack_shingles(text: str) -> np.ndarray:
+    """Distinct char-3 shingles (SET semantics, matching
+    ``char_shingles``) — the deduplicated view of
+    :func:`pack_char3_windows`."""
+    return np.unique(pack_char3_windows(text))
 
 
 def minhash_fast_from_texts(
@@ -175,7 +180,16 @@ def band_hashes(
     ``lane_offset`` shifts the band indices so a SECOND band family
     over the same signature (different rows_per_band) cannot collide
     with the first one's lanes.
+
+    Accepts signatures in either width-64 dtype: ``minhash_fast_batch``
+    returns int64 views (so a Spark LongType column can carry them)
+    while ``minhash_fast_from_texts`` returns raw uint64 — the int64
+    form is re-viewed here (bit-identical), since uint64 ^ int64 is
+    unsupported in numpy and would raise.
     """
+    sigs = np.asarray(sigs)
+    if sigs.dtype == np.int64:
+        sigs = sigs.view(np.uint64)
     n_docs = sigs.shape[0]
     bands = sigs.reshape(n_docs, n_bands, rows_per_band)
     with np.errstate(over="ignore"):

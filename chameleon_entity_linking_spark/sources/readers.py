@@ -50,7 +50,22 @@ def interleave_documents(flat: DataFrame) -> DataFrame:
 def with_synthetic_duplicates(interleaved: DataFrame, every: int = 4) -> DataFrame:
     """Append a deterministically perturbed copy of every ``every``-th
     doc (one char dropped from the text span) — gives the flagship
-    pipeline genuine duplicate mentions to resolve."""
+    pipeline genuine duplicate mentions to resolve.
+
+    Requires NUMERIC doc_id strings (the testdata corpora): the
+    every-th selection casts to long, and a non-numeric id would cast
+    to NULL, silently selecting zero duplicates — the pipeline would
+    then "resolve" a corpus with nothing to resolve. Checked loudly.
+    """
+    probe = interleaved.select(
+        F.col("doc_id").cast("long").alias("n")
+    ).first()
+    if probe is not None and probe["n"] is None:
+        raise ValueError(
+            "with_synthetic_duplicates needs numeric doc_id strings "
+            "(cast('long') returned NULL) — zero duplicates would be "
+            "appended silently"
+        )
     dupes = (
         interleaved.where(
             F.col("doc_id").cast("long") % every == 0

@@ -8,8 +8,15 @@ scoring + clustering can be verified to pairwise F1 >= 0.99.
 
 Scale-conscious by construction: documents are a pure function of
 (family_id, seed), generated partition-parallel with ``mapInPandas``
-over ``spark.range(n_families)`` — no driver-side materialization, so
-the same generator runs at 200k docs locally or 10^9 on a cluster.
+over ``spark.range(n_families)`` — no document ever materializes on
+the driver. One honest bound: the shared VOCABULARY (``_vocab``) IS
+driver-built — a Python loop linear in ``vocab_size`` (which tracks
+``n_entities // 2``), measured ~8 s per 500k words and shipped into
+each mapInPandas closure — so the generator as-written is practical
+to ~10^7 entities (~10^7-10^8 docs). Past that, vocabulary words
+would need to be derived on demand per family from the rng (changing
+every generated corpus, so deliberately NOT done mid-project: the
+pinned oracles dispatch on corpus checksums).
 
 Structure:
 - Entities come in *families* of ``family_size``; all entities of a
@@ -200,16 +207,24 @@ def _gen_family(cfg: SynthConfig, vocab: list[str], family_id: int):
             for y in range(x + 1, len(ids)):
                 a, b = sorted((ids[x], ids[y]))
                 labels.append((a, b, True))
-    # hard negatives: cross-entity, same family (shared base tokens)
+    # hard negatives: cross-entity, same family (shared base tokens).
+    # Draws are independent and CAN repeat a pair (few entity pairs
+    # per family) — dedup before emitting: a duplicate label row would
+    # double-count its pair in the pairwise-F1 confusion counts
+    # (evaluate.pairwise_confusion joins labels without dedup). The
+    # rng draw sequence is unchanged, so docs/clusters and the
+    # kept-pair set stay deterministic.
     neg_rng = _family_rng(cfg, family_id, "neg")
-    multi = [ids for ids in ent_docs]
-    if len(multi) > 1:
+    if len(ent_docs) > 1:
+        seen_negs = set()
         for _ in range(cfg.neg_pairs_per_family):
-            ei, ej = neg_rng.choice(len(multi), size=2, replace=False)
-            da = multi[ei][neg_rng.randint(len(multi[ei]))]
-            db = multi[ej][neg_rng.randint(len(multi[ej]))]
+            ei, ej = neg_rng.choice(len(ent_docs), size=2, replace=False)
+            da = ent_docs[ei][neg_rng.randint(len(ent_docs[ei]))]
+            db = ent_docs[ej][neg_rng.randint(len(ent_docs[ej]))]
             a, b = sorted((da, db))
-            labels.append((a, b, False))
+            if (a, b) not in seen_negs:
+                seen_negs.add((a, b))
+                labels.append((a, b, False))
     return docs, labels, clusters
 
 
