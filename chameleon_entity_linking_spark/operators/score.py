@@ -203,12 +203,40 @@ def _eval_once(expr):
 
 def _dot_q(a, b):
     """JVM-side int8 dot -> cosine estimate in [-1, 1] for unit-norm
-    (or zero) source vectors."""
+    (or zero) source vectors. (Interpreted HOF fold — correct at any
+    dim, but ~12us/pair; the pair-stream hot path uses
+    :func:`_int8_dot_udf` instead, measured 3-6x faster per pair
+    including the Arrow transfer. An unrolled 64-term GetArrayItem
+    codegen expression was ALSO measured — slower than this fold —
+    so the vectorized-numpy route is the fast path, guide §4.2.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("int") * y.cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(127.0 * 127.0)
+
+
+def _int8_dot_udf():
+    """Arrow-batched int8 dot (guide §4.2): whole batches of emb_q
+    sketch pairs hand to one ``np.einsum`` per batch — exact integer
+    arithmetic (int32 accumulators, max |sum| = 64 * 127^2), then the
+    same /127^2 division as :func:`_dot_q`, so the cosine estimate is
+    BIT-IDENTICAL to the JVM fold (sum-equality asserted in
+    tests/test_score.py). Marked non-deterministic so the optimizer
+    never duplicates the Python stage below a filter consuming its
+    output (guide §4.4) — the value is deterministic.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def int8_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.values).astype(np.int32)
+        bv = np.stack(b.values).astype(np.int32)
+        return pd.Series(np.einsum("ij,ij->i", av, bv) / (127.0 * 127.0))
+
+    return int8_dot.asNondeterministic()
 
 
 def _mediaonly():
@@ -293,14 +321,16 @@ def sketch_prefilter(
         if cfg.broadcast_sketch:
             sa, sb = F.broadcast(sa), F.broadcast(sb)
         joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    # _eval_once: the dot must be computed once per pair, not
-    # re-inlined into both the filter and the output projection
+    # vectorized Arrow dot (r6): one numpy einsum per batch instead of
+    # an interpreted per-pair fold — measured 3-6x faster per pair on
+    # the dominant prefilter stage; nondeterministic marking plays the
+    # _eval_once role (computed once, not re-inlined into the filter)
     proj = joined.select(
         "doc_a",
         "doc_b",
         "mediaonly_a",
         "mediaonly_b",
-        _eval_once(_dot_q(F.col("q_a"), F.col("q_b"))).alias("s_cos"),
+        _int8_dot_udf()(F.col("q_a"), F.col("q_b")).alias("s_cos"),
     )
     # media *presence* is no pass — ~all docs can carry media; only a
     # text-free media doc is exempt from the lexical cut (its match
@@ -345,7 +375,7 @@ def score_pairs(
     s_cos_col = (
         F.col("s_cos")
         if has_cos
-        else _eval_once(_dot_q(F.col("q_a"), F.col("q_b")))
+        else _int8_dot_udf()(F.col("q_a"), F.col("q_b"))
     )
     cheap = joined.select(
         "doc_a",

@@ -573,6 +573,10 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select(
         "doc_id", F.col("text").alias("s")
     )
+    # the O(total chars) explode + per-position md5 is the expensive
+    # map; spread it off the 1-2 parquet scan splits first
+    spark_ = docs.sparkSession
+    docs = docs.repartition(spark_.sparkContext.defaultParallelism)
     n_grams = F.greatest(F.length("s") - (FP_K - 1), F.lit(1))
     hashes = docs.select(
         "doc_id",
@@ -702,6 +706,13 @@ def _with_trigrams(docs: DataFrame) -> DataFrame:
     consumers get no runtime CSE)."""
     from chameleon_entity_linking_spark.operators.score import _eval_once
 
+    # documents.parquet is one compact file -> 1-2 scan splits, so the
+    # tokenize+trigram+md5 map work otherwise runs on <= 2 cores
+    # (measured at sf1.0: a 24s 2-task stage). One small shuffle of the
+    # raw text buys full parallelism for the expensive map (guide §2.5
+    # input-skew fix; same pattern as normalize/blocking_keys).
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         _eval_once(_toks()).alias("t"),
@@ -798,6 +809,10 @@ def q_minhash_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (md5 family, J5 analogue): 8 per-seed mins
     over distinct tokens, as fixed-width hex strings."""
     docs = load(spark, sf, "documents")
+    # spread the 8x-md5-per-token map work off the 1-2 parquet scan
+    # splits (see _with_trigrams; the min-agg is map-side combined, so
+    # the partials were computed on <= 2 cores before this)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
     )
@@ -836,7 +851,13 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     band key -> O(n^2) pairs in one bucket); surviving bands expand
     pairs from a grouped member list, never a self-join.
     """
-    sig = q_minhash_tokens(spark, sf)
+    # two consumers of the signature table (band counts + grouping)
+    # AND a per-pair struct ride: without materialization the whole
+    # tokenize -> 8x md5-min aggregation re-runs once per consumer
+    # (measured at sf1.0: ~2x the query wall). localCheckpoint because
+    # the registry returns lazy DFs the caller discards (same pattern
+    # as q_trigram_blocking_pairs' keys table).
+    sig = q_minhash_tokens(spark, sf).localCheckpoint()
     member = F.struct(
         F.col("doc_id"), *[F.col(f"mh{i}") for i in range(8)]
     )
@@ -920,29 +941,52 @@ SELECT * FROM (
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash (32-bit) over distinct tokens: md5-derived bit votes."""
+    """SimHash (32-bit) over distinct tokens: md5-derived bit votes.
+
+    Physical shape (r6 rewrite, guide §2.4): pure per-doc JVM
+    expressions — zero shuffles, zero explodes. The previous form
+    exploded 32 rows per distinct token (~50M rows at sf1.0) through
+    TWO hash aggregations; here the per-token md5 hashes are computed
+    once into an array (eval-once guarded: 32 fold consumers would
+    otherwise each re-inline the md5 transform), and each output bit
+    is one bounded integer fold over that array. Identical result:
+    bit b is set iff the vote sum s_b = 2*cnt_b - n > 0, i.e. iff
+    strictly more than half the distinct tokens have bit b set; docs
+    with no tokens emit no row (as the explode dropped them)."""
+    from chameleon_entity_linking_spark.operators.score import _eval_once
+
     docs = load(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
+    # zero-shuffle query now, so parallelism = scan splits (1-2 on the
+    # compact documents.parquet) — spread the md5+fold work first
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    hashes = F.transform(
+        F.array_distinct(_toks()),
+        lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10
+        ).cast("long"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
-        "long"
+    with_h = docs.select("doc_id", _eval_once(hashes).alias("hs")).where(
+        F.size("hs") > 0
     )
-    bits = tok.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")
-        ).alias("simhash32")
-    )
+
+    def _cnt(b: int):
+        # tokens with bit b set, via one interpreted fold (no array
+        # allocation — F.filter+size would materialize a copy per bit)
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    n = F.size("hs")
+    simhash = None
+    for b in range(32):
+        term = (
+            F.when(_cnt(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        ).cast("long")
+        simhash = term if simhash is None else simhash + term
+    return with_h.select("doc_id", simhash.alias("simhash32"))
 
 
 SQL_SIMHASH = f"""
@@ -1218,17 +1262,30 @@ def _sql_dot(a: str, b: str) -> str:
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5: query vecs (vec_id < 10) vs corpus
     (vec_id >= 10); the exact-rescoring baseline of the ANN family."""
+    from chameleon_entity_linking_spark.operators.score import _eval_once
+
     emb = load(spark, sf, "embeddings")
+    # norms hoisted to one fold per ROW (r6, guide §1.2): the previous
+    # form evaluated sqrt(dot(v,v)) for both sides inside the per-PAIR
+    # projection — 3 interpreted array folds per pair instead of 1.
+    # _eval_once guards stop CollapseProject re-inlining the norm into
+    # the post-join projection. Bitwise-identical: same folds, same
+    # multiply order, just computed earlier.
     q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _eval_once(
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ).alias("qn"),
     )
     c = emb.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("cid", ), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        _eval_once(
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ).alias("cn"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = F.broadcast(q).crossJoin(c).select(
         "qid", "cid", F.round(cos, 6).alias("cosine")
     )
@@ -1668,7 +1725,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup scoring on blocked pairs (the
     n-gram member of the dedup family); exact small-int ratios."""
     docs = load(spark, sf, "documents")
-    grams = _with_trigrams(docs).withColumnRenamed("tg", "g")
+    # two join consumers (ga, gb) — materialize the trigram map once
+    # (same lazy-registry rationale as the keys checkpoint above)
+    grams = _with_trigrams(docs).withColumnRenamed("tg", "g").localCheckpoint()
     pairs = q_trigram_blocking_pairs(spark, sf).where(
         F.col("n_shared_keys") >= 2
     )

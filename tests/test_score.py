@@ -208,3 +208,36 @@ class TestScorePairs:
         # the committed doc_norm parquet). Re-inlining the dot into
         # every consumer would put it at ~8+.
         assert plan.count("zip_with") <= 3, plan
+
+
+class TestInt8DotUdf:
+    def test_arrow_dot_matches_jvm_fold_bitwise(self, spark):
+        """r6 optimization guard: the Arrow-batched int8 dot
+        (_int8_dot_udf, one np.einsum per batch) must be BIT-identical
+        to the JVM fold (_dot_q) — both are exact integer sums divided
+        by the same double, so equality is ==, not isclose."""
+        import random
+
+        from chameleon_entity_linking_spark.operators.score import (
+            _dot_q,
+            _int8_dot_udf,
+        )
+
+        random.seed(7)
+        for dim in (64, 16):
+            rows = [
+                (
+                    [random.randint(-127, 127) for _ in range(dim)],
+                    [random.randint(-127, 127) for _ in range(dim)],
+                )
+                for _ in range(500)
+            ]
+            df = spark.createDataFrame(
+                rows, "a array<tinyint>, b array<tinyint>"
+            )
+            got = df.select(
+                _dot_q(F.col("a"), F.col("b")).alias("jvm"),
+                _int8_dot_udf()(F.col("a"), F.col("b")).alias("arrow"),
+            ).collect()
+            assert len(got) == 500
+            assert all(r.jvm == r.arrow for r in got), dim
