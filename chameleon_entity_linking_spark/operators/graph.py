@@ -152,17 +152,33 @@ def dfs_expand(
 
     Seeds with no incident edges produce no rows (the reference
     returns ``[]`` for them).
+
+    Gather bound (r6): with ``ball_hops=None`` the gather radius no
+    longer jumps straight to ``k`` — on a hub-connected graph the
+    k-hop ball of a k=10 walk is the whole component per seed, an
+    exponential over-gather for a walk that visits 10 nodes. Instead
+    the radius grows geometrically (min(4, k), doubling, capped at
+    ``k``) and each round's walk carries an exactness certificate: a
+    seed's walk is FINAL iff it exhausted its k-visit budget, or
+    every node it visited had its full adjacency in the gathered
+    ball (i.e. no visited node was a fringe node seen only as a
+    ``dst``). Only seeds whose walk touched the fringe re-gather at
+    the doubled radius, and radius ``k`` is unconditionally final
+    (visiting a hop-k node requires k visits, which exhausts the
+    budget). Shallow expansions — the common case — finish at radius
+    4 with a fraction of the frontier joins; the result is identical
+    at every radius where the certificate passes (superset balls
+    cannot change a walk that never left the smaller ball).
     """
-    radius = k if ball_hops is None else ball_hops
     # one materialization, shared by the ball AND the ball-edges join
     # (checkpoint_input=False stops k_hop_ball re-materializing it)
     e = _symmetrize(edges).localCheckpoint()
-    members = k_hop_ball(
-        e, seeds, radius, directed=True, checkpoint_input=False
-    ).select("seed", "node")
-    ball_edges = members.join(e, members["node"] == e["src"]).select(
-        "seed", "src", "dst"
-    )
+    if ball_hops is not None:
+        schedule = [ball_hops]  # caller-pinned radius: one pass, as before
+    else:
+        schedule = [min(4, k)]
+        while schedule[-1] < k:
+            schedule.append(min(k, schedule[-1] * 2))
 
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         seed = pdf["seed"].iloc[0]
@@ -184,6 +200,18 @@ def dfs_expand(
                 for n in sorted(adj.get(v, ()), reverse=True)
                 if n not in vset
             )
+        # exactness certificate. A "fringe" node (hop radius+1) is one
+        # gathered only as a dst — it has no entry in adj, so the walk
+        # cannot push its true neighbors. The walk is exact iff no
+        # fringe node was visited BEFORE the last visit (its missing
+        # pushes would corrupt every later visit), and a fringe node
+        # in last position is fine only when the k-visit budget ended
+        # the walk right there anyway.
+        fringe_before_last = any(v not in adj for v in visited[:-1])
+        last_fringe = bool(visited) and visited[-1] not in adj
+        complete = (not fringe_before_last) and (
+            not last_fringe or len(visited) == k
+        )
         return pd.DataFrame(
             {
                 "seed": [seed] * len(visited),
@@ -191,15 +219,42 @@ def dfs_expand(
                 "visit_order": pd.Series(
                     range(1, len(visited) + 1), dtype="int32"
                 ),
+                "complete": [complete] * len(visited),
             }
         )
 
     # id type follows the input (every other graph operator is
     # id-type generic — bigint edge tables must work here too)
     id_t = edges.schema["src"].dataType.simpleString()
-    return ball_edges.groupBy("seed").applyInPandas(
-        _walk, f"seed {id_t}, node {id_t}, visit_order int"
-    )
+    walk_schema = f"seed {id_t}, node {id_t}, visit_order int, complete boolean"
+    pending = seeds
+    done_parts: list[DataFrame] = []
+    for i, radius in enumerate(schedule):
+        members = k_hop_ball(
+            e, pending, radius, directed=True, checkpoint_input=False
+        ).select("seed", "node")
+        ball_edges = members.join(e, members["node"] == e["src"]).select(
+            "seed", "src", "dst"
+        )
+        out = ball_edges.groupBy("seed").applyInPandas(_walk, walk_schema)
+        if i == len(schedule) - 1:  # final radius: always exact
+            done_parts.append(out.drop("complete"))
+            break
+        out = out.localCheckpoint()
+        done_parts.append(out.where(F.col("complete")).drop("complete"))
+        retry = (
+            out.where(~F.col("complete"))
+            .select(F.col("seed").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if not retry.take(1):
+            break
+        pending = retry
+    result = done_parts[0]
+    for part in done_parts[1:]:
+        result = result.unionByName(part)
+    return result
 
 
 def expansion_dot(ball: DataFrame, top_n: int = 5) -> DataFrame:

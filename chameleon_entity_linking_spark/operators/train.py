@@ -182,53 +182,55 @@ def fit_logistic_weights(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
     ).persist()
-    any_null = None
-    for c in [*feature_cols, "_y"]:
-        cond = F.col(c).isNull()
-        any_null = cond if any_null is None else (any_null | cond)
-    counts = cached.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(any_null.cast("long")).alias("nulls"),
-    ).first()
-    n = int(counts["n"])
-    if n == 0:
-        cached.unpersist()
-        raise ValueError("empty training set")
-    if int(counts["nulls"] or 0) > 0:
-        # NULLs would silently mis-scale gradients (SUM skips them,
-        # the update divides by the full n) — fail loud instead
-        cached.unpersist()
-        raise ValueError(
-            f"{counts['nulls']} training rows have NULL features/labels"
-        )
-    weights = {c: 0.0 for c in feature_cols}
-    bias = 0.0
-    history: list[float] = []
-    for _ in range(iters):
-        margin = F.lit(bias)
-        for c in feature_cols:
-            margin = margin + F.lit(weights[c]) * F.col(c)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        err = p - F.col("_y")
-        # clamped log-loss, same epsilon as the numpy oracle in tests
-        eps = 1e-12
-        ll = -(
-            F.col("_y") * F.log(F.greatest(p, F.lit(eps)))
-            + (F.lit(1.0) - F.col("_y"))
-            * F.log(F.greatest(F.lit(1.0) - p, F.lit(eps)))
-        )
-        row = cached.agg(
-            F.sum(err).alias("g_bias"),
-            *[F.sum(err * F.col(c)).alias(f"g_{c}") for c in feature_cols],
-            F.avg(ll).alias("loss"),
+    # try/finally: an aggregation failure mid-iteration must not leak
+    # the persisted training table (ADVICE r5)
+    try:
+        any_null = None
+        for c in [*feature_cols, "_y"]:
+            cond = F.col(c).isNull()
+            any_null = cond if any_null is None else (any_null | cond)
+        counts = cached.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(any_null.cast("long")).alias("nulls"),
         ).first()
-        history.append(float(row["loss"]))
-        bias -= lr * float(row["g_bias"]) / n
-        for c in feature_cols:
-            weights[c] -= lr * (
-                float(row[f"g_{c}"]) / n + l2 * weights[c]
+        n = int(counts["n"])
+        if n == 0:
+            raise ValueError("empty training set")
+        if int(counts["nulls"] or 0) > 0:
+            # NULLs would silently mis-scale gradients (SUM skips
+            # them, the update divides by the full n) — fail loud
+            raise ValueError(
+                f"{counts['nulls']} training rows have NULL features/labels"
             )
-    cached.unpersist()
+        weights = {c: 0.0 for c in feature_cols}
+        bias = 0.0
+        history: list[float] = []
+        for _ in range(iters):
+            margin = F.lit(bias)
+            for c in feature_cols:
+                margin = margin + F.lit(weights[c]) * F.col(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            err = p - F.col("_y")
+            # clamped log-loss, same epsilon as the numpy oracle in tests
+            eps = 1e-12
+            ll = -(
+                F.col("_y") * F.log(F.greatest(p, F.lit(eps)))
+                + (F.lit(1.0) - F.col("_y"))
+                * F.log(F.greatest(F.lit(1.0) - p, F.lit(eps)))
+            )
+            row = cached.agg(
+                F.sum(err).alias("g_bias"),
+                *[F.sum(err * F.col(c)).alias(f"g_{c}") for c in feature_cols],
+                F.avg(ll).alias("loss"),
+            ).first()
+            history.append(float(row["loss"]))
+            bias -= lr * float(row["g_bias"]) / n
+            for c in feature_cols:
+                weights[c] -= lr * (
+                    float(row[f"g_{c}"]) / n + l2 * weights[c]
+                )
+    finally:
+        cached.unpersist()
     out = {"bias": bias}
     out.update(weights)
     return out, history

@@ -278,6 +278,24 @@ class ParquetCatalog:
     def exists(self, table: str) -> bool:
         return self._read_manifest(table) is not None
 
+    @staticmethod
+    def _entry_total_rows(snapshots: list[dict], idx: int) -> int:
+        """total_rows for ``snapshots[idx]``: the stored value when
+        present, else reconstructed by summing ``row_count`` back to
+        the last overwrite (ADVICE r5: a legacy pre-total_rows append
+        snapshot's ``row_count`` is the last delta only — falling back
+        to it undercounts the table, and that count sizes driver-side
+        work like connected_components' contraction bound)."""
+        if "total_rows" in snapshots[idx]:
+            return snapshots[idx]["total_rows"]
+        total = 0
+        for s in snapshots[: idx + 1]:
+            if s["mode"] == "overwrite":
+                total = s["row_count"]
+            else:
+                total += s["row_count"]
+        return total
+
     def current_snapshot(self, table: str) -> Snapshot | None:
         m = self._read_manifest(table)
         if m is None or not m.get("snapshots"):
@@ -291,7 +309,9 @@ class ParquetCatalog:
             lineage=cur.get("lineage", {}),
             metrics=cur.get("metrics", {}),
             partitions=cur.get("partitions", []),
-            total_rows=cur.get("total_rows", -1),
+            total_rows=self._entry_total_rows(
+                m["snapshots"], len(m["snapshots"]) - 1
+            ),
         )
 
     def history(self, table: str) -> list[dict]:
@@ -368,7 +388,11 @@ class ParquetCatalog:
         if mode == "append" and m["snapshots"]:
             prev = m["snapshots"][-1]
             dirs = prev["data_dirs"] + dirs
-            total_rows += prev.get("total_rows", prev["row_count"])
+            # reconstructed when the legacy manifest lacks total_rows
+            # (prev["row_count"] alone is just the last delta)
+            total_rows += self._entry_total_rows(
+                m["snapshots"], len(m["snapshots"]) - 1
+            )
         entry = {
             "snapshot_id": snap_id,
             "mode": mode,

@@ -57,14 +57,23 @@ def with_synthetic_duplicates(interleaved: DataFrame, every: int = 4) -> DataFra
     to NULL, silently selecting zero duplicates — the pipeline would
     then "resolve" a corpus with nothing to resolve. Checked loudly.
     """
-    probe = interleaved.select(
-        F.col("doc_id").cast("long").alias("n")
-    ).first()
-    if probe is not None and probe["n"] is None:
+    # whole-column guard (ADVICE r5): the previous first-row probe
+    # passed a corpus whose FIRST id is numeric while silently
+    # excluding later non-numeric ids from duplicate selection. One
+    # metadata-cheap aggregate validates every row.
+    bad = interleaved.agg(
+        F.sum(
+            (
+                F.col("doc_id").isNotNull()
+                & F.col("doc_id").cast("long").isNull()
+            ).cast("long")
+        ).alias("bad")
+    ).first()["bad"]
+    if bad:
         raise ValueError(
-            "with_synthetic_duplicates needs numeric doc_id strings "
-            "(cast('long') returned NULL) — zero duplicates would be "
-            "appended silently"
+            f"with_synthetic_duplicates needs numeric doc_id strings "
+            f"({bad} rows cast('long') to NULL) — those rows would be "
+            "silently excluded from duplicate selection"
         )
     dupes = (
         interleaved.where(

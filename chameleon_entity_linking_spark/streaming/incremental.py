@@ -133,37 +133,42 @@ def start_incremental_normalize(
         # could land in neither table (one action's evaluation keeps
         # the valid copy, another's the malformed one)
         deduped = batch.dropDuplicates(["doc_id"]).persist()
-        valid, dead = validate_documents(deduped)
-        # dead-letter FIRST: if the batch has malformed rows, a crash
-        # after this commit replays into the norm_done-only branch;
-        # the errors lineage then proves this batch's dead rows exist.
-        # (A batch with no dead rows never advances the errors
-        # lineage; its replay recomputes an empty `dead` — still a
-        # no-op, just a recomputation.)
-        if not errors_done and dead.take(1):
-            catalog.write(
-                "errors",
-                dead.withColumn("batch_id", F.lit(batch_id)),
-                mode="append",
-                lineage={
-                    "stage": "dead_letter",
-                    "batch_id": batch_id,
-                    "stream_id": stream_id,
-                },
-            )
-        if not norm_done:
-            catalog.write(
-                "doc_norm_stream",
-                normalize(valid),
-                mode="append",
-                lineage={
-                    "stage": "stream_normalize",
-                    "batch_id": batch_id,
-                    "stream_id": stream_id,
-                },
-                metrics={"batch_id": batch_id},
-            )
-        deduped.unpersist()
+        # try/finally: a failed dead-letter probe or catalog write must
+        # not leak the persisted batch block — each failed-batch retry
+        # re-persists a new one in a long-running stream (ADVICE r5)
+        try:
+            valid, dead = validate_documents(deduped)
+            # dead-letter FIRST: if the batch has malformed rows, a
+            # crash after this commit replays into the norm_done-only
+            # branch; the errors lineage then proves this batch's dead
+            # rows exist. (A batch with no dead rows never advances
+            # the errors lineage; its replay recomputes an empty
+            # `dead` — still a no-op, just a recomputation.)
+            if not errors_done and dead.take(1):
+                catalog.write(
+                    "errors",
+                    dead.withColumn("batch_id", F.lit(batch_id)),
+                    mode="append",
+                    lineage={
+                        "stage": "dead_letter",
+                        "batch_id": batch_id,
+                        "stream_id": stream_id,
+                    },
+                )
+            if not norm_done:
+                catalog.write(
+                    "doc_norm_stream",
+                    normalize(valid),
+                    mode="append",
+                    lineage={
+                        "stage": "stream_normalize",
+                        "batch_id": batch_id,
+                        "stream_id": stream_id,
+                    },
+                    metrics={"batch_id": batch_id},
+                )
+        finally:
+            deduped.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -241,3 +241,75 @@ class TestDfsExpandIntIds:
         got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
         assert got == [2, 3, 5]
         assert all(isinstance(r.node, int) for r in rows)
+
+
+class TestDfsBoundedGather:
+    """r6 optimization guard: dfs_expand's default gather grows its
+    radius geometrically instead of gathering the full k-hop ball —
+    on a hub-connected graph the k-ball is the whole component, an
+    exponential over-gather for a k-node walk."""
+
+    def _spied(self, monkeypatch):
+        import chameleon_entity_linking_spark.operators.graph as G
+
+        calls = []
+        orig = G.k_hop_ball
+
+        def spy(edges, seeds, k, **kw):
+            calls.append(k)
+            return orig(edges, seeds, k, **kw)
+
+        monkeypatch.setattr(G, "k_hop_ball", spy)
+        return calls
+
+    def test_hub_graph_gathers_small_radius_only(self, spark, monkeypatch):
+        calls = self._spied(monkeypatch)
+        # hub graph: seed -- hub, hub -- 50 leaves; a k=10 walk stays
+        # within 2 hops, so one radius-4 gather must settle it
+        edges = spark.createDataFrame(
+            [("s", "h")] + [("h", f"n{i:02d}") for i in range(50)],
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("s",)], "node string")
+        rows = dfs_expand(edges, seeds, k=10).collect()
+        assert calls == [4], calls  # never gathered the 10-ball
+        got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
+        edge_list = [("s", "h")] + [("h", f"n{i:02d}") for i in range(50)]
+        assert got == _simple_dfs(edge_list, "s", 10)
+
+    def test_deep_path_iterates_to_exact_result(self, spark, monkeypatch):
+        calls = self._spied(monkeypatch)
+        # 15-node path: the k=12 walk runs 12 hops deep, so the
+        # schedule must escalate 4 -> 8 -> 12 and still match the
+        # reference walk exactly
+        edge_list = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)]
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        seeds = spark.createDataFrame([("n00",)], "node string")
+        rows = dfs_expand(edges, seeds, k=12).collect()
+        assert calls == [4, 8, 12], calls
+        got = [r.node for r in sorted(rows, key=lambda r: r.visit_order)]
+        assert got == _simple_dfs(edge_list, "n00", 12)
+
+    def test_mixed_depths_split_across_rounds(self, spark, monkeypatch):
+        calls = self._spied(monkeypatch)
+        # one shallow seed (hub) + one deep seed (path): the shallow
+        # seed finalizes in round 1, only the deep seed re-gathers
+        edge_list = (
+            [("s", "h")]
+            + [("h", f"m{i:02d}") for i in range(20)]
+            + [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(9)]
+        )
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        seeds = spark.createDataFrame(
+            [("s",), ("p00",)], "node string"
+        )
+        rows = dfs_expand(edges, seeds, k=8).collect()
+        assert calls == [4, 8], calls
+        by_seed = {}
+        for r in rows:
+            by_seed.setdefault(r.seed, {})[r.visit_order] = r.node
+        for s in ("s", "p00"):
+            order = [
+                by_seed[s][i] for i in range(1, len(by_seed[s]) + 1)
+            ]
+            assert order == _simple_dfs(edge_list, s, 8), s
