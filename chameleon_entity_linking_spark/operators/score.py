@@ -174,13 +174,33 @@ def _features(
     )
 
 
-def _jaccard(a, b):
-    # inter/greatest(union,1): identical to the guarded form (inter is
-    # a subset of union, so union==0 implies inter==0 -> 0.0) but the
-    # expensive array_union is referenced ONCE, not once per branch
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return inter / F.greatest(union, F.lit(1))
+def _name_features(
+    doc_norm: DataFrame, side: str, max_name_chars: int | None
+) -> DataFrame:
+    """(doc_{side}, name_{side}) only — joined to cheap-phase
+    SURVIVORS, so the 100-char names never ride the full pair stream
+    (r6, guide §2.3: the cheap phase decides on set/sketch features
+    alone; measured at sf1.0 the names were ~40% of the bytes flowing
+    through the 22.5M-pair cheap projection)."""
+    name = F.col("name_text")
+    if max_name_chars is not None:
+        name = F.substring(name, 1, max_name_chars)
+    return doc_norm.select(
+        F.col("doc_id").alias(f"doc_{side}"), name.alias(f"name_{side}")
+    )
+
+
+def _jaccard_from_counts(inter, n_a, n_b):
+    """Jaccard from an intersect count + per-side DISTINCT sizes:
+    |union| = |a| + |b| - |inter| (normalize() array_distincts both
+    sides), so the expensive array_union allocation+hash is
+    eliminated outright (r6; it was ~half the cheap-phase jaccard
+    cost). ``inter`` must be a bound ATTRIBUTE (projected in a prior
+    select), not a raw expression — a Column expression referenced
+    twice is cloned into the tree and evaluated twice per row. Same
+    integers -> same double as the array_union form (union == 0
+    implies inter == 0 -> 0.0)."""
+    return inter / F.greatest(n_a + n_b - inter, F.lit(1))
 
 
 def _eval_once(expr):
@@ -361,38 +381,56 @@ def score_pairs(
     # instead of re-running the dot per pair (and drop the emb_q
     # sketches from the feature join entirely: narrower pair rows)
     has_cos = "s_cos" in pairs.columns
-    fa = _features(doc_norm, "a", cfg.max_name_chars)
-    fb = _features(doc_norm, "b", cfg.max_name_chars)
+    fa = _features(doc_norm, "a", cfg.max_name_chars).drop("name_a")
+    fb = _features(doc_norm, "b", cfg.max_name_chars).drop("name_b")
     if has_cos:
         fa, fb = fa.drop("q_a"), fb.drop("q_b")
     joined = pairs.join(fa, "doc_a").join(fb, "doc_b")
     # ---- cheap JVM components, each evaluated ONCE (_pin) ---------------
     # encoder vectors are unit-norm or zero => cosine == dot, and the
     # zero-vector case degrades to 0.0 on its own. Sizes/flags are
-    # projected out too so the arrays can be dropped here — the
-    # survivor rows that ride the repartition into the Python phase
-    # carry only scalars + truncated names.
+    # projected out too so the arrays can be dropped here. Names are
+    # NOT joined yet (r6): the cheap phase decides on set/sketch
+    # features alone, so the truncated names join only the (far
+    # smaller) survivor set below instead of riding the full pair
+    # stream through the jaccard projection.
     s_cos_col = (
         F.col("s_cos")
         if has_cos
         else _int8_dot_udf()(F.col("q_a"), F.col("q_b"))
     )
-    cheap = joined.select(
+    # two-step: intersect counts + sizes bound as attributes first,
+    # ratios second — each array_intersect runs exactly once per pair
+    # and no array_union runs at all (see _jaccard_from_counts)
+    counted = joined.select(
         "doc_a",
         "doc_b",
-        "name_a",  # already truncated in _features, pre-shuffle
-        "name_b",
-        (F.size("tokens_a") == 0).alias("no_tok_a"),
-        (F.size("tokens_b") == 0).alias("no_tok_b"),
-        (F.size("media_a") > 0).alias("has_med_a"),
-        (F.size("media_b") > 0).alias("has_med_b"),
-        _eval_once(_jaccard(F.col("tokens_a"), F.col("tokens_b"))).alias(
-            "s_tok"
-        ),
+        F.size("tokens_a").alias("n_tok_a"),
+        F.size("tokens_b").alias("n_tok_b"),
+        F.size("media_a").alias("n_med_a"),
+        F.size("media_b").alias("n_med_b"),
+        _eval_once(
+            F.size(F.array_intersect("tokens_a", "tokens_b"))
+        ).alias("i_tok"),
         s_cos_col.alias("s_cos"),
-        _eval_once(_jaccard(F.col("media_a"), F.col("media_b"))).alias(
-            "s_media"
-        ),
+        _eval_once(
+            F.size(F.array_intersect("media_a", "media_b"))
+        ).alias("i_med"),
+    )
+    cheap = counted.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_tok_a") == 0).alias("no_tok_a"),
+        (F.col("n_tok_b") == 0).alias("no_tok_b"),
+        (F.col("n_med_a") > 0).alias("has_med_a"),
+        (F.col("n_med_b") > 0).alias("has_med_b"),
+        _jaccard_from_counts(
+            F.col("i_tok"), F.col("n_tok_a"), F.col("n_tok_b")
+        ).alias("s_tok"),
+        "s_cos",
+        _jaccard_from_counts(
+            F.col("i_med"), F.col("n_med_a"), F.col("n_med_b")
+        ).alias("s_media"),
     )
     has_media = F.col("has_med_a") | F.col("has_med_b")
     no_text = F.col("no_tok_a") & F.col("no_tok_b")
@@ -419,6 +457,10 @@ def score_pairs(
             cheap = cheap.where(
                 (F.col("s_cos") >= cfg.prefilter_min_cheap) | mediaonly
             )
+    # names join the survivors only (truncated pre-join as before)
+    cheap = cheap.join(
+        _name_features(doc_norm, "a", cfg.max_name_chars), "doc_a"
+    ).join(_name_features(doc_norm, "b", cfg.max_name_chars), "doc_b")
     # ---- expensive Python components on survivors only -----------------
     # names were truncated JVM-side above, bounding the quadratic
     # kernels AND the Arrow transfer; explicit repartition because AQE
