@@ -422,7 +422,37 @@ def candidate_pairs(
         keys = blocking_keys(doc_norm, cfg).persist()
         if persisted_out is not None:
             persisted_out.append(keys)
-    raw, key_metrics = expand_key_pairs(keys, cfg, persisted_out)
+    # inline phase-0 sketch (r6, guide §8 "shuffle keys and metadata
+    # instead of payloads", inverted): when the scoring prefilter's
+    # sign-sketch phase applies, the 9-byte (sig, mediaonly) sketch
+    # rides the SMALL key table into the grouped member lists, so the
+    # expansion emits pairs already carrying both sides' sketches and
+    # the hamming cut fuses into the explode stage itself — no
+    # broadcast-join probes and no row re-materialization over the
+    # tens-of-millions raw pair stream (measured at sf1.0: 67M raw
+    # pairs from 1.5M key rows; widening the key rows by 9B is noise,
+    # removing two joins over the raw stream is not).
+    sketch = None
+    if (
+        score_cfg is not None
+        and score_cfg.sketch_fused
+        and score_cfg.prefilter_max_hamming is not None
+        and "emb_sig" in doc_norm.columns
+    ):
+        from chameleon_entity_linking_spark.operators.score import (
+            _mediaonly,
+        )
+
+        sketch = doc_norm.select(
+            "doc_id",
+            F.col("emb_sig").alias("sig"),
+            _mediaonly().alias("mo"),
+        )
+        if score_cfg.broadcast_sketch:
+            sketch = F.broadcast(sketch)
+    raw, key_metrics = expand_key_pairs(
+        keys, cfg, persisted_out, sketch=sketch
+    )
     # ScoreConfig.sketch_fused is THE shared flag: callers passing
     # presketched= to score_pairs read the same property, so the two
     # sides can never drift on whether sketch columns exist
@@ -440,6 +470,7 @@ def expand_key_pairs(
     keys: DataFrame,
     cfg: BlockConfig,
     persisted_out: list | None = None,
+    sketch: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_id, key[, fam]) -> (raw canonical pairs, key_metrics).
 
@@ -452,6 +483,15 @@ def expand_key_pairs(
     column (emitted by :func:`blocking_keys`) selects per-family
     count ceilings when ``cfg.family_ceilings`` is set; a bare
     (doc_id, key) table gets the global ceiling.
+
+    ``sketch`` (optional): a (doc_id, sig:long, mo:boolean) per-doc
+    sign-sketch table (broadcast-hinted by the caller when small).
+    When given, members group as structs carrying the sketch and the
+    output pairs additionally carry (sig_a, sig_b, mediaonly_a,
+    mediaonly_b) — score.sketch_prefilter then applies its phase-0
+    hamming cut inline in the expansion stage instead of re-joining
+    the sketch against the raw pair stream. Pair SET is identical
+    either way.
     """
     spark = keys.sparkSession
     cap = cfg.hot_key_cap
@@ -527,8 +567,17 @@ def expand_key_pairs(
     # (cross-key pair dedup happens downstream anyway), this just
     # stops computing it in multiplicate. The shuffle is of the
     # SMALL grouped table (rows bounded by the ceiling).
+    # member column: plain doc_id, or a (doc_id, sig, mo) struct when
+    # the inline sketch rides the expansion. array_sort on the struct
+    # orders by doc_id first (sig/mo are FUNCTIONS of doc_id), so both
+    # member-array forms sort and bucket-dedup identically.
+    member_keys = keys.select("doc_id", "key")
+    if sketch is not None:
+        member_keys = member_keys.join(sketch, "doc_id").select(
+            F.struct("doc_id", "sig", "mo").alias("doc_id"), "key"
+        )
     grouped = (
-        keys.select("doc_id", "key")
+        member_keys
         .join(
             counts.where(
                 (F.col("n_docs") >= 2) & (F.col("n_docs") <= ceil_col)
@@ -545,6 +594,40 @@ def expand_key_pairs(
     if persisted_out is not None:
         persisted_out.append(grouped)
 
+    if sketch is None:
+        def _canonical(da, db):
+            return [
+                F.least(da, db).alias("doc_a"),
+                F.greatest(da, db).alias("doc_b"),
+            ]
+
+        def _lt(da, db):
+            return da < db
+
+        def _ne(da, db):
+            return da != db
+
+    else:
+        # canonicalize on the ids; each side's sketch follows its doc
+        def _canonical(da, db):
+            a_first = da["doc_id"] < db["doc_id"]
+            lo = F.when(a_first, da).otherwise(db)
+            hi = F.when(a_first, db).otherwise(da)
+            return [
+                lo["doc_id"].alias("doc_a"),
+                hi["doc_id"].alias("doc_b"),
+                lo["sig"].alias("sig_a"),
+                hi["sig"].alias("sig_b"),
+                lo["mo"].alias("mediaonly_a"),
+                hi["mo"].alias("mediaonly_b"),
+            ]
+
+        def _lt(da, db):
+            return da["doc_id"] < db["doc_id"]
+
+        def _ne(da, db):
+            return da["doc_id"] != db["doc_id"]
+
     # -- normal keys: bounded JVM-side pair expansion, no self-join -------
     small = grouped.where(F.col("n_docs") <= cap)
     exploded = small.select(
@@ -557,17 +640,19 @@ def expand_key_pairs(
                 "docs", F.col("i") + F.lit(2), F.size("docs") - F.col("i") - 1
             )
         ).alias("db"),
-    ).select(
-        F.least("da", "db").alias("doc_a"),
-        F.greatest("da", "db").alias("doc_b"),
-    )
+    ).select(*_canonical(F.col("da"), F.col("db")))
 
     # -- hot keys: salted triangle join (skew splitting) ------------------
+    salt_id = (
+        F.col("doc_id")
+        if sketch is None
+        else F.col("doc_id")["doc_id"]
+    )
     hot = (
         grouped.where(F.col("n_docs") > cap)  # grouped is <= ceiling already
         .select("key", "n_docs", F.explode("docs").alias("doc_id"))
         .withColumn("s", F.ceil(F.col("n_docs") / cap).cast("int"))
-        .withColumn("g", F.pmod(F.xxhash64("doc_id", "key"), F.col("s")).cast("int"))
+        .withColumn("g", F.pmod(F.xxhash64(salt_id, F.col("key")), F.col("s")).cast("int"))
     )
     hot_left = hot.select(
         "key",
@@ -598,13 +683,10 @@ def expand_key_pairs(
         hot_left.repartition(par, "key", "bi", "bj")
         .join(hot_right, ["key", "bi", "bj"])
         .where(
-            (F.col("bi") != F.col("bj")) | (F.col("da") < F.col("db"))
+            (F.col("bi") != F.col("bj")) | _lt(F.col("da"), F.col("db"))
         )
-        .where(F.col("da") != F.col("db"))
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-        )
+        .where(_ne(F.col("da"), F.col("db")))
+        .select(*_canonical(F.col("da"), F.col("db")))
     )
 
     return pairs_normal.unionByName(pairs_hot), key_metrics

@@ -308,25 +308,42 @@ def sketch_prefilter(
     """
     if cfg.prefilter_min_cheap is None or not cfg.cascade:
         return pairs
+    inline_sig = cfg.prefilter_max_hamming is not None and {
+        "sig_a",
+        "sig_b",
+        "mediaonly_a",
+        "mediaonly_b",
+    } <= set(pairs.columns)
     use_ham = (
         cfg.prefilter_max_hamming is not None
         and "emb_sig" in doc_norm.columns
     )
-    if use_ham:
-        ga = F.broadcast if cfg.broadcast_sketch else (lambda df: df)
-        siga = ga(_sketch(doc_norm, "a", sig=True))
-        sigb = ga(_sketch(doc_norm, "b", sig=True))
-        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        pre = (
-            pairs.join(siga, "doc_a")
-            .join(sigb, "doc_b")
-            .where(
-                F.col("mediaonly_a")
-                | F.col("mediaonly_b")
-                | (ham <= F.lit(int(cfg.prefilter_max_hamming)))
+    if inline_sig or use_ham:
+        ham_cut = F.lit(int(cfg.prefilter_max_hamming))
+        if inline_sig:
+            # the expansion attached both sides' sketches inline
+            # (block.expand_key_pairs sketch=): phase 0 is a plain
+            # filter fused into the expansion stage — no joins over
+            # the raw pair stream at all (r6)
+            ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            pre = pairs.where(
+                F.col("mediaonly_a") | F.col("mediaonly_b") | (ham <= ham_cut)
+            ).select("doc_a", "doc_b", "mediaonly_a", "mediaonly_b")
+        else:
+            ga = F.broadcast if cfg.broadcast_sketch else (lambda df: df)
+            siga = ga(_sketch(doc_norm, "a", sig=True))
+            sigb = ga(_sketch(doc_norm, "b", sig=True))
+            ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            pre = (
+                pairs.join(siga, "doc_a")
+                .join(sigb, "doc_b")
+                .where(
+                    F.col("mediaonly_a")
+                    | F.col("mediaonly_b")
+                    | (ham <= ham_cut)
+                )
+                .select("doc_a", "doc_b", "mediaonly_a", "mediaonly_b")
             )
-            .select("doc_a", "doc_b", "mediaonly_a", "mediaonly_b")
-        )
         qa = doc_norm.select(
             F.col("doc_id").alias("doc_a"), F.col("emb_q").alias("q_a")
         )
