@@ -55,7 +55,10 @@ def _er_pipeline_from_docs(
         score_pairs,
     )
 
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # normalize() spreads rows itself (repartition=True default) — a
+    # second outer repartition here was one redundant full shuffle of
+    # the raw corpus (r6); docs feeds assign_clusters via a join,
+    # which needs no pre-spread
     doc_norm = normalize(docs).persist()
     persisted = [doc_norm]
     pairs, _ = candidate_pairs(
@@ -134,6 +137,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.905,
             prefilter_min_cheap=0.9,
             prefilter_max_hamming=16,
+            # raw pairs >> key rows on the driver corpora (45x at
+            # sf1.0) -> the inline-sketch expansion wins (see
+            # ScoreConfig.sketch_inline)
+            sketch_inline=True,
         ),
     )
 
@@ -687,6 +694,7 @@ def _flagship_x10_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=0.905,
                 prefilter_min_cheap=0.9,
                 prefilter_max_hamming=16,
+                sketch_inline=True,
             ),
         )
         .groupBy("cluster_size")

@@ -436,6 +436,7 @@ def candidate_pairs(
     if (
         score_cfg is not None
         and score_cfg.sketch_fused
+        and getattr(score_cfg, "sketch_inline", False)
         and score_cfg.prefilter_max_hamming is not None
         and "emb_sig" in doc_norm.columns
     ):

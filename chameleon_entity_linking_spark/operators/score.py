@@ -107,6 +107,16 @@ class ScoreConfig:
         # broadcast scale — the prefilter then shuffle-joins, which is
         # still one shuffle of the raw stream vs two of the deduped.
         broadcast_sketch: bool = True,
+        # fuse the phase-0 sign sketch INTO the pair expansion
+        # (block.expand_key_pairs sketch=): members group as
+        # (doc_id, sig, mediaonly) structs, so the hamming cut runs
+        # inline in the explode stage with no joins over the raw pair
+        # stream. WINS when raw pairs >> key rows (measured 45x at the
+        # sf1.0 flagship corpus); the ~17B/row widening of the
+        # key->grouped shuffle can cost more than the removed probes
+        # when the ratio is near 1 (the dense-key bench corpus), so
+        # the default stays off and the flagship config opts in.
+        sketch_inline: bool = False,
     ):
         self.w_jw = w_jw
         self.w_lev = w_lev
@@ -121,6 +131,7 @@ class ScoreConfig:
         self.prefilter_max_hamming = prefilter_max_hamming
         self.length_sort = length_sort
         self.broadcast_sketch = broadcast_sketch
+        self.sketch_inline = sketch_inline
 
     @property
     def sketch_fused(self) -> bool:
